@@ -1,0 +1,308 @@
+"""Grid objects: mixed-basis spectral transforms on R / RL / RZ / RLZ grids.
+
+TPU-native reconstruction of the reference grid layer (un-vendored
+Springsteel; API contract at src/spectralGrid.jl:63-94 `createGrid` and the
+transform call sites in src/semiimplicit.jl:301-332).  Design:
+
+* Physical state is a dense array ``[nvars, rDim(, nl)(, nz)]`` — vertical
+  columns / azimuthal rings are batch axes, replacing the reference's
+  per-column thread loop (semiimplicit.jl:308-314) with batched matmuls.
+* Analysis / synthesis are precomputed dense operators applied as einsums:
+  cubic B-splines in r, real FFT with per-ring wavenumber masking in
+  lambda, Chebyshev (dense DCT matrices) in z.
+* ``synthesis`` returns every derivative slot of the reference physical
+  layout (SURVEY.md 2.4): value, d/dr, d2/dr2 (+ d/dl, d2/dl2) (+ d/dz,
+  d2/dz2), as a dict of ``[nvars, *spatial]`` arrays.
+* For radial sharding, analysis factors into a *local* quadrature projection
+  (``project``) plus a small replicated solve (``solve_spectral``), so a
+  sharded step only needs one psum of the [b_rDim, ...] projection array —
+  the TPU-native analog of the reference's halo overlap-add + shared
+  spectral array (semiimplicit.jl:272-285).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..basis import bspline, chebyshev, fourier
+from ..config import GridParameters
+
+GEOMETRIES = ("R", "RL", "RZ", "RLZ")
+
+
+@dataclass
+class Grid:
+    """A built grid: static metadata + device operator arrays."""
+
+    params: GridParameters
+    dtype: Any
+    # radial operators
+    r_mish: np.ndarray  # [rDim] (host, float64)
+    analysis_r: jnp.ndarray  # [nvars, nb, rDim]
+    project_r: jnp.ndarray  # [nb, rDim] (var-independent local quadrature)
+    msolve_r: jnp.ndarray  # [nvars, nb, nb]
+    synth_r: jnp.ndarray  # [3, rDim, nb]
+    # azimuthal
+    nl: int = 0
+    ring_mask: jnp.ndarray | None = None  # [rDim, nl//2+1]
+    # vertical
+    z_mish: np.ndarray | None = None  # [nz]
+    analysis_z: jnp.ndarray | None = None  # [nvars, nz, nz] (constrain @ dct)
+    synth_z: jnp.ndarray | None = None  # [3, nz, nz]
+    zcol_int: jnp.ndarray | None = None  # [nz, nz] R0 column antiderivative
+    zcol_deriv: jnp.ndarray | None = None  # [nz, nz] R0 column d/dz
+    zcol_analysis: jnp.ndarray | None = None  # [nz, nz] R0 value->coeff (CB+CA)
+    z_synth_val: jnp.ndarray | None = None  # [nz, nz] coeff->value
+    z_synth_d1: jnp.ndarray | None = None  # [nz, nz] coeff->d/dz
+
+    # ------------------------------------------------------------------
+    @property
+    def geometry(self) -> str:
+        return self.params.geometry
+
+    @property
+    def nvars(self) -> int:
+        return self.params.nvars
+
+    @property
+    def spatial_shape(self) -> tuple[int, ...]:
+        p = self.params
+        if p.geometry == "R":
+            return (p.rDim,)
+        if p.geometry == "RL":
+            return (p.rDim, self.nl)
+        if p.geometry == "RZ":
+            return (p.rDim, p.zDim)
+        return (p.rDim, self.nl, p.zDim)
+
+    @property
+    def spectral_shape(self) -> tuple[int, ...]:
+        p = self.params
+        if p.geometry == "R":
+            return (p.nvars, p.b_rDim)
+        if p.geometry == "RL":
+            return (p.nvars, p.b_rDim, self.nl)
+        if p.geometry == "RZ":
+            return (p.nvars, p.b_rDim, p.zDim)
+        return (p.nvars, p.b_rDim, self.nl, p.zDim)
+
+    @property
+    def num_points(self) -> int:
+        return int(np.prod(self.spatial_shape))
+
+    @property
+    def field_keys(self) -> tuple[str, ...]:
+        return {
+            "R": ("val", "dr", "drr"),
+            "RZ": ("val", "dr", "drr", "dz", "dzz"),
+            "RL": ("val", "dr", "drr", "dl", "dll"),
+            "RLZ": ("val", "dr", "drr", "dl", "dll", "dz", "dzz"),
+        }[self.geometry]
+
+    # ------------------------------------------------------------------
+    def coords(self) -> dict[str, jnp.ndarray]:
+        """Coordinate arrays broadcastable against ``[*spatial]`` fields."""
+        p = self.params
+        r = jnp.asarray(self.r_mish, self.dtype)
+        out: dict[str, jnp.ndarray] = {}
+        if self.geometry == "R":
+            out["r"] = r
+        elif self.geometry == "RL":
+            out["r"] = r[:, None]
+            out["l"] = jnp.asarray(fourier.angles(self.nl), self.dtype)[None, :]
+        elif self.geometry == "RZ":
+            out["r"] = r[:, None]
+            out["z"] = jnp.asarray(self.z_mish, self.dtype)[None, :]
+        else:
+            out["r"] = r[:, None, None]
+            out["l"] = jnp.asarray(fourier.angles(self.nl), self.dtype)[None, :, None]
+            out["z"] = jnp.asarray(self.z_mish, self.dtype)[None, None, :]
+        return out
+
+    def gridpoints(self) -> np.ndarray:
+        """Reference-style [npoints, ndims] coordinate matrix (row order =
+        flattened field order; ref `getGridpoints`, semiimplicit.jl:59)."""
+        p = self.params
+        if self.geometry == "R":
+            return self.r_mish[:, None]
+        if self.geometry == "RL":
+            lam = fourier.angles(self.nl)
+            rr, ll = np.meshgrid(self.r_mish, lam, indexing="ij")
+            return np.stack([rr.ravel(), ll.ravel()], axis=1)
+        if self.geometry == "RZ":
+            rr, zz = np.meshgrid(self.r_mish, self.z_mish, indexing="ij")
+            return np.stack([rr.ravel(), zz.ravel()], axis=1)
+        lam = fourier.angles(self.nl)
+        rr, ll, zz = np.meshgrid(self.r_mish, lam, self.z_mish, indexing="ij")
+        return np.stack([rr.ravel(), ll.ravel(), zz.ravel()], axis=1)
+
+    # ------------------------------------------------------------------
+    # Azimuthal helpers
+    def _lambda_filter(self, phys: jnp.ndarray, l_axis: int) -> jnp.ndarray:
+        """Apply the per-ring azimuthal wavenumber mask (dealiasing)."""
+        coef = jnp.fft.rfft(phys, axis=l_axis)
+        mask = self.ring_mask  # [rDim, nk]
+        shape = [1] * coef.ndim
+        shape[1] = mask.shape[0]  # r axis is axis 1 of [nvars, rDim, ...]
+        shape[l_axis] = mask.shape[1]
+        coef = coef * mask.reshape(shape)
+        return jnp.fft.irfft(coef, n=phys.shape[l_axis], axis=l_axis).astype(self.dtype)
+
+    def _lambda_derivs(self, val: jnp.ndarray, l_axis: int):
+        nl = val.shape[l_axis]
+        coef = jnp.fft.rfft(val, axis=l_axis)
+        k = jnp.arange(nl // 2 + 1, dtype=coef.real.dtype)
+        shape = [1] * coef.ndim
+        shape[l_axis] = k.shape[0]
+        k = k.reshape(shape)
+        dl = jnp.fft.irfft(1j * k * coef, n=nl, axis=l_axis).astype(self.dtype)
+        dll = jnp.fft.irfft(-(k**2) * coef, n=nl, axis=l_axis).astype(self.dtype)
+        return dl, dll
+
+    # ------------------------------------------------------------------
+    def analysis(self, phys: jnp.ndarray) -> jnp.ndarray:
+        """physical [nvars, *spatial] -> spectral (ref spectralTransform!)."""
+        g = self.geometry
+        if g == "R":
+            return jnp.einsum("vbr,vr->vb", self.analysis_r, phys)
+        if g == "RL":
+            f = self._lambda_filter(phys, 2)
+            return jnp.einsum("vbr,vrl->vbl", self.analysis_r, f)
+        if g == "RZ":
+            zc = jnp.einsum("vkz,vrz->vrk", self.analysis_z, phys)
+            return jnp.einsum("vbr,vrk->vbk", self.analysis_r, zc)
+        f = self._lambda_filter(phys, 2)
+        zc = jnp.einsum("vkz,vrlz->vrlk", self.analysis_z, f)
+        return jnp.einsum("vbr,vrlk->vblk", self.analysis_r, zc)
+
+    def project(self, phys: jnp.ndarray) -> jnp.ndarray:
+        """Local (decomposable) radial quadrature projection.  Summing
+        projections over radial shards then applying ``solve_spectral``
+        equals ``analysis`` exactly — the sharded-transform contract."""
+        g = self.geometry
+        if g == "R":
+            return jnp.einsum("br,vr->vb", self.project_r, phys)
+        if g == "RL":
+            f = self._lambda_filter(phys, 2)
+            return jnp.einsum("br,vrl->vbl", self.project_r, f)
+        if g == "RZ":
+            zc = jnp.einsum("vkz,vrz->vrk", self.analysis_z, phys)
+            return jnp.einsum("br,vrk->vbk", self.project_r, zc)
+        f = self._lambda_filter(phys, 2)
+        zc = jnp.einsum("vkz,vrlz->vrlk", self.analysis_z, f)
+        return jnp.einsum("br,vrlk->vblk", self.project_r, zc)
+
+    def solve_spectral(self, proj: jnp.ndarray) -> jnp.ndarray:
+        """Apply the (small, replicated) Gram/filter/BC solve to a summed
+        projection array (ref splineTransform!, semiimplicit.jl:285)."""
+        return jnp.einsum("vbc,vc...->vb...", self.msolve_r, proj)
+
+    def synthesis(self, spec: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        """spectral -> all physical derivative slots (ref gridTransform! /
+        tileTransform!; slot layout SURVEY.md 2.4)."""
+        g = self.geometry
+        out: dict[str, jnp.ndarray] = {}
+        if g == "R":
+            r3 = jnp.einsum("drb,vb->vdr", self.synth_r, spec)
+            out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
+            return out
+        if g == "RL":
+            r3 = jnp.einsum("drb,vbl->vdrl", self.synth_r, spec)
+            out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
+            out["dl"], out["dll"] = self._lambda_derivs(out["val"], 2)
+            return out
+        if g == "RZ":
+            rz = jnp.einsum("drb,vbk->vdrk", self.synth_r, spec)
+            zval = self.synth_z[0]
+            out["val"] = jnp.einsum("zk,vrk->vrz", zval, rz[:, 0])
+            out["dr"] = jnp.einsum("zk,vrk->vrz", zval, rz[:, 1])
+            out["drr"] = jnp.einsum("zk,vrk->vrz", zval, rz[:, 2])
+            out["dz"] = jnp.einsum("zk,vrk->vrz", self.synth_z[1], rz[:, 0])
+            out["dzz"] = jnp.einsum("zk,vrk->vrz", self.synth_z[2], rz[:, 0])
+            return out
+        rz = jnp.einsum("drb,vblk->vdrlk", self.synth_r, spec)
+        zval = self.synth_z[0]
+        out["val"] = jnp.einsum("zk,vrlk->vrlz", zval, rz[:, 0])
+        out["dr"] = jnp.einsum("zk,vrlk->vrlz", zval, rz[:, 1])
+        out["drr"] = jnp.einsum("zk,vrlk->vrlz", zval, rz[:, 2])
+        out["dz"] = jnp.einsum("zk,vrlk->vrlz", self.synth_z[1], rz[:, 0])
+        out["dzz"] = jnp.einsum("zk,vrlk->vrlz", self.synth_z[2], rz[:, 0])
+        out["dl"], out["dll"] = self._lambda_derivs(out["val"], 2)
+        return out
+
+    # ------------------------------------------------------------------
+    # Chebyshev column helpers used inside equation sets (R0 constraints),
+    # batched over all columns: f has z on the LAST axis.
+    def column_integrate(self, f: jnp.ndarray) -> jnp.ndarray:
+        """CIInt: antiderivative in z anchored to 0 at z=zmin
+        (ref CIInttransform, shallowWaterModels.jl:422-429)."""
+        return jnp.einsum("zk,...k->...z", self.zcol_int, f)
+
+    def column_derivative(self, f: jnp.ndarray) -> jnp.ndarray:
+        """CIx of the R0-filtered column fit (ref CIxtransform usage,
+        shallowWaterModels.jl:469-483)."""
+        return jnp.einsum("zk,...k->...z", self.zcol_deriv, f)
+
+    def column_filter(self, f: jnp.ndarray) -> jnp.ndarray:
+        """CB+CA+CI round trip (truncation filter) on columns."""
+        return jnp.einsum("zk,kw,...w->...z", self.z_synth_val, self.zcol_analysis, f)
+
+
+def create_grid(params: GridParameters, dtype=jnp.float32) -> Grid:
+    """Build a grid and all of its transform operators (ref createGrid,
+    spectralGrid.jl:63-94)."""
+    p = params
+    if p.geometry not in GEOMETRIES:
+        raise ValueError(f"Unknown geometry {p.geometry!r}")
+
+    # --- radial spline operators, per variable BC pair ------------------
+    an, ms = [], []
+    proj = None
+    synth = None
+    for v in range(p.nvars):
+        ops = bspline.build_ops(p.xmin, p.xmax, p.num_cells, p.BCL[v], p.BCR[v], p.l_q)
+        an.append(ops.analysis)
+        ms.append(ops.msolve)
+        proj = ops.project
+        synth = ops.synth
+        r_mish = ops.mish
+    grid = Grid(
+        params=p,
+        dtype=dtype,
+        r_mish=r_mish,
+        analysis_r=jnp.asarray(np.stack(an), dtype),
+        project_r=jnp.asarray(proj, dtype),
+        msolve_r=jnp.asarray(np.stack(ms), dtype),
+        synth_r=jnp.asarray(synth, dtype),
+    )
+
+    # --- azimuthal ------------------------------------------------------
+    if p.geometry in ("RL", "RLZ"):
+        nl = fourier.default_nl(p.num_cells, p.lDim)
+        dr = (p.xmax - p.xmin) / p.num_cells
+        grid.nl = nl
+        grid.ring_mask = jnp.asarray(fourier.ring_mask(r_mish, dr, nl, p.l_q), dtype)
+
+    # --- vertical -------------------------------------------------------
+    if p.geometry in ("RZ", "RLZ"):
+        if p.zDim < 4:
+            raise ValueError("zDim must be >= 4 for RZ/RLZ grids")
+        anz = []
+        for v in range(p.nvars):
+            zops = chebyshev.build_ops(p.zDim, p.zmin, p.zmax, p.b_zDim, p.BCB[v], p.BCT[v])
+            anz.append(zops.constrain @ zops.analysis)
+        z0 = chebyshev.build_ops(p.zDim, p.zmin, p.zmax, p.b_zDim)
+        grid.z_mish = z0.points
+        grid.analysis_z = jnp.asarray(np.stack(anz), dtype)
+        grid.synth_z = jnp.asarray(z0.value_deriv_stack, dtype)
+        r0a = z0.constrain @ z0.analysis
+        grid.zcol_analysis = jnp.asarray(r0a, dtype)
+        grid.zcol_int = jnp.asarray(z0.isynth @ r0a, dtype)
+        grid.zcol_deriv = jnp.asarray(z0.dsynth @ r0a, dtype)
+        grid.z_synth_val = jnp.asarray(z0.synth, dtype)
+        grid.z_synth_d1 = jnp.asarray(z0.dsynth, dtype)
+    return grid
