@@ -1,0 +1,78 @@
+"""Equation-set interface and registry.
+
+An equation set is a pure function ``f(fields, ctx) -> EqResult`` computing
+pointwise tendencies from the synthesized physical fields (value + all
+derivative slots).  This replaces the reference's per-column mutating
+functions dispatched by name (ref physical_model,
+src/semiimplicit.jl:357-363); dispatch by name is preserved via REGISTRY so
+``ModelParameters.equation_set`` strings match the reference.
+
+``fields`` is a dict with keys val/dr/drr(/dl/dll)(/dz/dzz), each
+``[nvars, *spatial]``.  ``EqResult.overrides`` lets a set overwrite a
+diagnostic variable's physical value before the explicit step (the
+reference writes diagnostics straight into grid.physical, e.g. the slab
+boundary-layer w, src/shallowWaterModels.jl:60-67).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+REGISTRY: dict[str, Callable] = {}
+
+
+def equation_set(name: str | None = None, geometry: str | None = None):
+    def deco(fn):
+        fn.geometry = geometry
+        REGISTRY[name or fn.__name__] = fn
+        return fn
+
+    return deco
+
+
+@dataclass
+class EqContext:
+    """Static per-run context handed to equation sets."""
+
+    grid: Any
+    coords: dict[str, jnp.ndarray]
+    params: dict[str, float]  # physical_params (ref model.physical_params)
+    options: dict[str, Any]
+    ts: float
+    var_index: Callable[[str], int]
+    ref_state: Any = None  # physics.reference_state.ReferenceState or None
+    extras: dict = field(default_factory=dict)
+
+    def p(self, key: str, default=None) -> float:
+        if default is None:
+            return self.params[key]
+        return self.params.get(key, default)
+
+
+@dataclass
+class EqResult:
+    expdot: jnp.ndarray  # [nvars, *spatial]
+    impdot: jnp.ndarray | None = None
+    overrides: dict[int, jnp.ndarray] = field(default_factory=dict)
+
+
+def get_equation_set(name: str) -> Callable:
+    # import submodules lazily so registration side effects happen
+    from . import shallow_water, tcbl, test_models  # noqa: F401
+
+    if name not in REGISTRY:
+        raise KeyError(
+            f"Unknown equation_set {name!r}; known: {sorted(REGISTRY)}"
+        )
+    return REGISTRY[name]
+
+
+def stack_tendencies(nvars: int, shape, dtype, terms: dict[int, jnp.ndarray]):
+    """Assemble [nvars, *spatial] from a {var_index: tendency} mapping."""
+    rows = [
+        terms.get(v, jnp.zeros(shape, dtype)) for v in range(nvars)
+    ]
+    return jnp.stack(rows, axis=0)

@@ -1,0 +1,331 @@
+"""Idealized / test equation sets (ref src/testModels.jl).
+
+Linear advection on all four grids plus the compressible Euler family
+(Euler_test, BF02_test, rainfall_test) in (s, xi, mu) perturbation form.
+Each function computes the same pointwise tendencies as the reference,
+vectorized over the whole grid instead of per-column.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..physics import microphysics as mp
+from ..physics import thermodynamics as td
+from .common import EqContext, EqResult, equation_set, stack_tendencies
+
+
+@equation_set(geometry="R")
+def LinearAdvection1D(fields, ctx: EqContext) -> EqResult:
+    """u_t = -c0 u_r + K u_rr (ref testModels.jl:1-20)."""
+    c0, K = ctx.p("c_0"), ctx.p("K")
+    expdot = -(c0 * fields["dr"]) + K * fields["drr"]
+    return EqResult(expdot=expdot)
+
+
+@equation_set(geometry="RZ")
+def LinearAdvectionRZ(fields, ctx: EqContext) -> EqResult:
+    """Advection of h by prescribed (u, w) + diffusion with cylindrical
+    term (ref testModels.jl:22-45)."""
+    K = ctx.p("K")
+    r = ctx.coords["r"]
+    val, dr, drr, dz, dzz = (
+        fields["val"],
+        fields["dr"],
+        fields["drr"],
+        fields["dz"],
+        fields["dzz"],
+    )
+    h_r, h_rr, h_z, h_zz = dr[0], drr[0], dz[0], dzz[0]
+    u, w = val[1], val[3]
+    dh = (-u * h_r) + (-w * h_z) + K * ((h_r / r) + h_rr + h_zz)
+    return EqResult(
+        expdot=stack_tendencies(ctx.grid.nvars, dh.shape, dh.dtype, {0: dh})
+    )
+
+
+@equation_set(geometry="RL")
+def LinearAdvectionRL(fields, ctx: EqContext) -> EqResult:
+    """Polar advection of h by (u, v), optional diffusion
+    (ref testModels.jl:47-73)."""
+    K = ctx.p("K")
+    r = ctx.coords["r"]
+    h_r, h_l = fields["dr"][0], fields["dl"][0]
+    u, v = fields["val"][1], fields["val"][2]
+    dh = (-u * h_r) - v * (h_l / r)
+    if K > 0.0:
+        h_rr, h_ll = fields["drr"][0], fields["dll"][0]
+        dh = dh + K * ((h_r / r) + h_rr + (h_ll / (r * r)))
+    return EqResult(
+        expdot=stack_tendencies(ctx.grid.nvars, dh.shape, dh.dtype, {0: dh})
+    )
+
+
+@equation_set(geometry="RLZ")
+def LinearAdvectionRLZ(fields, ctx: EqContext) -> EqResult:
+    """3-D advection (no z-advection term, matching the reference;
+    testModels.jl:75-98)."""
+    K = ctx.p("K")
+    r = ctx.coords["r"]
+    h_r, h_rr = fields["dr"][0], fields["drr"][0]
+    h_l, h_ll = fields["dl"][0], fields["dll"][0]
+    u, v = fields["val"][1], fields["val"][2]
+    dh = (-u * h_r) - v * (h_l / r) + K * ((h_r / r) + h_rr + (h_ll / (r * r)))
+    return EqResult(
+        expdot=stack_tendencies(ctx.grid.nvars, dh.shape, dh.dtype, {0: dh})
+    )
+
+
+# ----------------------------------------------------------------------
+# Compressible Euler family (RZ), perturbation form vs a hydrostatic
+# reference state: s (entropy'), xi (log dry density'), mu (bhyp vapor'),
+# u, w (ref testModels.jl:100-215).
+
+
+def _euler_core(fields, ctx: EqContext, extra_vars: int):
+    """Shared setup for Euler_test/BF02_test/rainfall_test."""
+    rs = ctx.ref_state
+    val, dx, dxx, dz, dzz = (
+        fields["val"],
+        fields["dr"],
+        fields["drr"],
+        fields["dz"],
+        fields["dzz"],
+    )
+    s, xi, mu, u, w = val[0], val[1], val[2], val[3], val[4]
+    # reference-state columns broadcast over r: [1, nz]
+    sbar_z = rs.sbar[None, :, 1]
+    xibar_z = rs.xibar[None, :, 1]
+    mubar_z = rs.mubar[None, :, 1]
+    q_v, rho_d, Tk, p = td.thermodynamic_tuple(
+        s + rs.sbar[None, :, 0], xi + rs.xibar[None, :, 0], mu + rs.mubar[None, :, 0]
+    )
+    return dict(
+        val=val,
+        dx=dx,
+        dxx=dxx,
+        dz=dz,
+        dzz=dzz,
+        s=s,
+        xi=xi,
+        mu=mu,
+        u=u,
+        w=w,
+        sbar_z=sbar_z,
+        xibar_z=xibar_z,
+        mubar_z=mubar_z,
+        q_v=q_v,
+        rho_d=rho_d,
+        Tk=Tk,
+        p=p,
+        mubar0=rs.mubar[None, :, 0],
+        xibar0=rs.xibar[None, :, 0],
+        pxi_bar=rs.Pxi_bar,
+    )
+
+
+@equation_set(geometry="RZ")
+def Euler_test(fields, ctx: EqContext) -> EqResult:
+    """Dry/moist compressible Euler benchmark (ref testModels.jl:100-215)."""
+    K = ctx.p("K")
+    c = _euler_core(fields, ctx, 0)
+    dx, dxx, dz, dzz = c["dx"], c["dxx"], c["dz"], c["dzz"]
+    u, w = c["u"], c["w"]
+    q_v, rho_d, Tk = c["q_v"], c["rho_d"], c["Tk"]
+    mu_total = c["mu"] + c["mubar0"]
+    rho_t = rho_d * (1.0 + q_v)
+    mu_fac = td.dmudq(mu_total, q_v)
+    qvp_x = dx[2] / mu_fac
+    qvp_z = dz[2] / mu_fac
+    rhobar = td.dry_density(c["xibar0"]) * (1.0 + td.ahyp(c["mubar0"]))
+    rho_p = rho_t - rhobar
+
+    nvars = ctx.grid.nvars
+    sh, dt = u.shape, u.dtype
+    exp = {}
+    imp = {}
+    # s
+    exp[0] = (-u * dx[0]) + (-w * (dz[0] + c["sbar_z"])) + K * (dxx[0] + dzz[0])
+    # xi
+    adv = (-u * dx[1]) + (-w * (dz[1] + c["xibar_z"]))
+    exp[1] = adv - dx[3] - dz[4]
+    imp[1] = -dz[4]
+    # mu
+    exp[2] = (-u * dx[2]) + (-w * (dz[2] + c["mubar_z"])) + K * (dxx[2] + dzz[2])
+    # u
+    pgf_x = td.pressure_gradient(Tk, rho_d, q_v, dx[0], dx[1], qvp_x) / rho_t
+    exp[3] = (-u * dx[3]) + (-w * dz[3]) - pgf_x + K * (dxx[3] + dzz[3])
+    # w
+    pgf_z = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z) / rho_t
+    exp[4] = (
+        (-u * dx[4])
+        + (-w * dz[4])
+        - (td.GRAVITY * rho_p / rho_t)
+        - pgf_z
+        + K * (dxx[4] + dzz[4])
+    )
+    imp[4] = -(c["pxi_bar"] * dz[1])
+    return EqResult(
+        expdot=stack_tendencies(nvars, sh, dt, exp),
+        impdot=stack_tendencies(nvars, sh, dt, imp),
+    )
+
+
+@equation_set(geometry="RZ")
+def BF02_test(fields, ctx: EqContext) -> EqResult:
+    """Bryan & Fritsch-style moist bubble with prognostic supersaturation
+    (ref testModels.jl:217-385).  Vars: s xi mu u w mu_l qss."""
+    K = ctx.p("K")
+    rs = ctx.ref_state
+    c = _euler_core(fields, ctx, 2)
+    dx, dxx, dz, dzz = c["dx"], c["dxx"], c["dz"], c["dzz"]
+    u, w = c["u"], c["w"]
+    q_v, rho_d, Tk, p = c["q_v"], c["rho_d"], c["Tk"], c["p"]
+    mu_total = c["mu"] + c["mubar0"]
+    mu_l = c["val"][5]
+    qss = c["val"][6]
+    q_l = td.ahyp(mu_l + rs.mu_lbar[None, :, 0])
+    rho_t = rho_d * (1.0 + q_v + q_l)
+    mu_fac = td.dmudq(mu_total, q_v)
+    qvp_x = dx[2] / mu_fac
+    qvp_z = dz[2] / mu_fac
+    rhobar = td.dry_density(c["xibar0"]) * (1.0 + td.ahyp(c["mubar0"]))
+    rho_p = rho_t - rhobar
+    dpdx = td.pressure_gradient(Tk, rho_d, q_v, dx[0], dx[1], qvp_x)
+    dpdz = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+
+    # entropy divergence forcing + condensation (ref testModels.jl:300-320)
+    Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
+    s_div = Cm * (td.Rd + q_v * td.Rv) * (dx[3] + dz[4])
+    N_c, r_c = 500.0, 10.0
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
+    invtau = mp.invtau_condensation(Tk, p, N_c, r_c)
+    qss_cond = (
+        mp.dqsdp(Tk, p, rho_d, q_v, q_l)
+        * ((u * dpdx) + (w * (dpdz - rhobar * td.GRAVITY)))
+        - qss * invtau
+    )
+
+    nvars = ctx.grid.nvars
+    sh, dt = u.shape, u.dtype
+    exp, imp = {}, {}
+    exp[0] = (
+        (-u * dx[0]) + (-w * (dz[0] + c["sbar_z"])) + s_cond + s_div + K * (dxx[0] + dzz[0])
+    )
+    exp[1] = (-u * dx[1]) + (-w * (dz[1] + c["xibar_z"])) - dx[3] - dz[4]
+    imp[1] = -dz[4]
+    exp[2] = (
+        (-u * dx[2])
+        + (-w * (dz[2] + c["mubar_z"]))
+        - q_cond * mu_fac
+        + K * (dxx[2] + dzz[2])
+    )
+    imp[2] = q_v  # storage slot consumed by condensation_adjustment (ref)
+    exp[3] = (-u * dx[3]) + (-w * dz[3]) - dpdx / rho_t + K * (dxx[3] + dzz[3])
+    exp[4] = (
+        (-u * dx[4])
+        + (-w * dz[4])
+        + ((-td.GRAVITY * rho_p) - dpdz) / rho_t
+        + K * (dxx[4] + dzz[4])
+    )
+    imp[4] = -(c["pxi_bar"] * dz[1])
+    exp[5] = (
+        (-u * dx[5])
+        + (-w * (dz[5] + rs.mu_lbar[None, :, 1]))
+        + q_cond * td.dmudq(mu_l, q_l)
+        + K * (dxx[5] + dzz[5])
+    )
+    exp[6] = (-u * dx[6]) + (-w * dz[6]) + qss_cond
+    imp[6] = qss
+    return EqResult(
+        expdot=stack_tendencies(nvars, sh, dt, exp),
+        impdot=stack_tendencies(nvars, sh, dt, imp),
+    )
+
+
+@equation_set(geometry="RZ")
+def rainfall_test(fields, ctx: EqContext) -> EqResult:
+    """Full warm-rain benchmark (ref testModels.jl:387-585).
+    Vars: s xi mu u w mu_c mu_r qss."""
+    K = ctx.p("K")
+    c = _euler_core(fields, ctx, 3)
+    dx, dxx, dz, dzz = c["dx"], c["dxx"], c["dz"], c["dzz"]
+    u, w = c["u"], c["w"]
+    q_v, rho_d, Tk, p = c["q_v"], c["rho_d"], c["Tk"], c["p"]
+    mu_total = c["mu"] + c["mubar0"]
+    mu_c, mu_r, qss = c["val"][5], c["val"][6], c["val"][7]
+    q_c = td.ahyp(mu_c)
+    q_r = td.ahyp(mu_r)
+    q_l = q_c + q_r
+    q_t = q_v + q_l
+    rho_t = rho_d * (1.0 + q_t)
+    mu_fac = td.dmudq(mu_total, q_v)
+    qvp_x = dx[2] / mu_fac
+    qvp_z = dz[2] / mu_fac
+    rhobar = td.dry_density(c["xibar0"]) * (1.0 + td.ahyp(c["mubar0"]))
+    rho_p = rho_t - rhobar
+    dpdx = td.pressure_gradient(Tk, rho_d, q_v, dx[0], dx[1], qvp_x)
+    dpdz = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+
+    Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
+    s_div = Cm * (td.Rd + q_v * td.Rv) * (dx[3] + dz[4])
+    N_c, r_c = 100.0, 10.0
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
+    cloudtau = mp.invtau_condensation(Tk, p, N_c, r_c)
+    raintau = mp.rain_evaporation(q_r, rho_d, Tk, p)
+    q_evap = -qss * raintau
+    qss_cond = (
+        mp.dqsdp(Tk, p, rho_d, q_v, q_l)
+        * ((u * dpdx) + (w * (dpdz - rhobar * td.GRAVITY)))
+        - qss * (cloudtau + raintau)
+    )
+    q_auto = mp.autoconversion(q_c, rho_d)
+    q_coll = mp.collection(q_c, q_r, rho_d, Tk)
+    Vt = mp.sedimentation(q_r, rho_d, Tk)
+    # flux divergence of falling precipitation via a Chebyshev column
+    # derivative (ref testModels.jl:521-528)
+    Vt_flux = ctx.grid.column_derivative(q_r * Vt) / rho_d
+
+    nvars = ctx.grid.nvars
+    sh, dt = u.shape, u.dtype
+    exp, imp = {}, {}
+    exp[0] = (
+        (-u * dx[0]) + (-w * (dz[0] + c["sbar_z"])) + s_cond + s_div + K * (dxx[0] + dzz[0])
+    )
+    exp[1] = (-u * dx[1]) + (-w * (dz[1] + c["xibar_z"])) - dx[3] - dz[4]
+    imp[1] = -dz[4]
+    exp[2] = (
+        (-u * dx[2])
+        + (-w * (dz[2] + c["mubar_z"]))
+        + mu_fac * (q_evap - q_cond)
+        + K * (dxx[2] + dzz[2])
+    )
+    imp[2] = q_v
+    exp[3] = (-u * dx[3]) + (-w * dz[3]) - dpdx / rho_t + K * (dxx[3] + dzz[3])
+    exp[4] = (
+        (-u * dx[4])
+        + (-w * dz[4])
+        + ((-td.GRAVITY * rho_p) - dpdz) / rho_t
+        + K * (dxx[4] + dzz[4])
+    )
+    imp[4] = -(c["pxi_bar"] * dz[1])
+    exp[5] = (
+        (-u * dx[5])
+        + (-w * dz[5])
+        + td.dmudq(mu_c, q_c) * (q_cond - q_auto - q_coll)
+        + K * (dxx[5] + dzz[5])
+    )
+    exp[6] = (
+        (-u * dx[6])
+        + (-w * dz[6])
+        + td.dmudq(mu_r, q_r) * (q_auto + q_coll - q_evap - Vt_flux)
+        + K * (dxx[6] + dzz[6])
+    )
+    exp[7] = (-u * dx[7]) + (-w * dz[7]) + qss_cond
+    imp[7] = qss
+    return EqResult(
+        expdot=stack_tendencies(nvars, sh, dt, exp),
+        impdot=stack_tendencies(nvars, sh, dt, imp),
+    )

@@ -1,0 +1,125 @@
+"""Grid I/O: CSV interchange (reference-compatible schema) + binary
+checkpointing.
+
+The reference reads initial conditions from CSV (columns = coordinates then
+variables by name, e.g. ``r,l,h,u,...``; ref read_physical_grid call,
+semiimplicit.jl:134 and the notebook IC cells) and writes
+``physical_out_<t>.csv`` in the same schema, which doubles as its
+checkpoint/restart mechanism (SURVEY.md 5).  We keep that interchange format
+(row order = this grid's flattened gridpoint order) and add a fast binary
+npz checkpoint holding the full multistep state.
+
+When the native C extension (native/scythe_io.cpp) is built it accelerates
+CSV parse/format; otherwise numpy fallbacks are used.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:  # optional native accelerator
+    import scythe_native_io as _nio  # type: ignore
+except Exception:  # pragma: no cover - fallback path
+    _nio = None
+
+
+def _read_csv(path: str) -> tuple[list[str], np.ndarray]:
+    if _nio is not None:
+        names, data = _nio.read_csv(path)
+        return list(names), np.asarray(data)
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+    data = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
+    return header, data
+
+
+def _write_csv(path: str, names: list[str], cols: np.ndarray) -> None:
+    if _nio is not None:
+        _nio.write_csv(path, names, np.ascontiguousarray(cols, np.float64))
+        return
+    header = ",".join(names)
+    np.savetxt(path, cols, delimiter=",", header=header, comments="", fmt="%.17g")
+
+
+_COORD_NAMES = {"R": ["r"], "RL": ["r", "l"], "RZ": ["r", "z"], "RLZ": ["r", "l", "z"]}
+
+
+def read_physical_grid(path: str, grid) -> np.ndarray:
+    """IC CSV -> [nvars, *spatial] float64 (ref read_physical_grid)."""
+    names, data = _read_csv(path)
+    p = grid.params
+    npts = grid.num_points
+    if data.shape[0] != npts:
+        raise ValueError(
+            f"IC file {path} has {data.shape[0]} rows; grid has {npts} points"
+        )
+    out = np.zeros((p.nvars,) + grid.spatial_shape)
+    for v, name in enumerate(p.vars):
+        if name not in names:
+            raise ValueError(f"IC file missing variable column {name!r}")
+        out[v] = data[:, names.index(name)].reshape(grid.spatial_shape)
+    return out
+
+
+def write_output(grid, model, t: float, phys: np.ndarray) -> str:
+    """Write ``physical_out_<t>.csv`` (ref write_output, src/io.jl:3-13)."""
+    os.makedirs(model.output_dir, exist_ok=True)
+    time = str(round(float(t), 2))
+    path = os.path.join(model.output_dir, f"physical_out_{time}.csv")
+    coords = grid.gridpoints()
+    names = list(_COORD_NAMES[grid.geometry]) + list(grid.params.vars)
+    cols = np.concatenate(
+        [coords] + [np.asarray(phys[v]).reshape(-1, 1) for v in range(grid.nvars)],
+        axis=1,
+    )
+    _write_csv(path, names, cols)
+    return path
+
+
+def save_checkpoint(path: str, state, t_sim: float) -> None:
+    """Full-state binary checkpoint (spectral coefficients + multistep
+    tendency history), enabling bitwise restart mid-ramp."""
+    np.savez_compressed(
+        path,
+        spec=np.asarray(state.spec),
+        expdot_nm1=np.asarray(state.expdot_nm1),
+        expdot_nm2=np.asarray(state.expdot_nm2),
+        impdot_nm1=np.asarray(state.impdot_nm1),
+        impdot_nm2=np.asarray(state.impdot_nm2),
+        t=np.asarray(state.t),
+        t_sim=np.asarray(t_sim),
+    )
+
+
+def load_checkpoint(path: str, dtype=None):
+    from .timeintegration import ModelState
+    import jax.numpy as jnp
+
+    with np.load(path) as d:
+        cast = (lambda x: jnp.asarray(x, dtype)) if dtype else jnp.asarray
+        state = ModelState(
+            spec=cast(d["spec"]),
+            expdot_nm1=cast(d["expdot_nm1"]),
+            expdot_nm2=cast(d["expdot_nm2"]),
+            impdot_nm1=cast(d["impdot_nm1"]),
+            impdot_nm2=cast(d["impdot_nm2"]),
+            t=jnp.asarray(d["t"]),
+        )
+        return state, float(d["t_sim"])
+
+
+def check_cfl(grid, phys: np.ndarray) -> None:
+    """Runtime health watchdog (ref checkCFL, semiimplicit.jl:737-751).
+
+    The reference scans for NaN only; we also flag +/-inf (overflow reaches
+    inf a few steps before NaN under IEEE arithmetic)."""
+    for v, name in enumerate(grid.params.vars):
+        bad = ~np.isfinite(np.asarray(phys[v]))
+        if bad.any():
+            idx = int(np.argwhere(bad.reshape(-1))[0][0])
+            raise FloatingPointError(
+                f"Non-finite value found in variable {name} at index {idx}! "
+                "CFL condition likely violated"
+            )

@@ -1,0 +1,208 @@
+"""Model driver: build the jitted SPMD step and run the time loop.
+
+The reference's worker/RPC/SharedArray runtime (src/semiimplicit.jl:126-332)
+collapses into a single jitted function-of-state here: per step --
+synthesis -> pointwise tendencies -> AB3/AI2* update -> (semi-implicit
+column solve) -> (condensation adjustment) -> analysis.  Steps between
+output intervals run inside one `lax.scan`; the host only touches data at
+output boundaries (CSV write + NaN watchdog), matching the reference cadence
+(semiimplicit.jl:288-293).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time as _time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import io as sio
+from . import timeintegration as ti
+from .config import ModelParameters
+from .equations.common import EqContext, get_equation_set
+from .grids.base import Grid, create_grid
+from .physics import microphysics as mp
+from .physics import reference_state as rsmod
+
+log = logging.getLogger("scythe_tpu")
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def build_context(model: ModelParameters, grid: Grid, dtype) -> EqContext:
+    ref = rsmod.build_reference_state(model, grid, dtype)
+    return EqContext(
+        grid=grid,
+        coords=grid.coords(),
+        params=model.phys(),
+        options=model.opts(),
+        ts=model.ts,
+        var_index=grid.params.var_index,
+        ref_state=ref,
+    )
+
+
+def build_step(model: ModelParameters, grid: Grid, ctx: EqContext, dtype):
+    """Returns step(state) -> state, jittable and shard_map-able."""
+    eqset = get_equation_set(model.equation_set)
+    opts = ctx.options
+    p = grid.params
+    semiimplicit = bool(opts.get("semiimplicit"))
+    needs_condensation = model.equation_set in ("BF02_test", "rainfall_test")
+    si_ops = None
+    if semiimplicit:
+        if ctx.ref_state is None:
+            raise ValueError("semiimplicit integration requires a ref_state_file")
+        si_ops = ti.build_semiimplicit_ops(
+            p.zDim,
+            p.zmin,
+            p.zmax,
+            p.b_zDim,
+            float(ctx.ref_state.Pxi_bar),
+            model.ts,
+            dtype,
+        )
+        w_i = p.var_index("w")
+        xi_i = p.var_index("xi")
+
+    ts = model.ts
+
+    def step(state: ti.ModelState) -> ti.ModelState:
+        fields = grid.synthesis(state.spec)
+        res = eqset(fields, ctx)
+        phys = fields["val"]
+        for v, arr in res.overrides.items():
+            phys = phys.at[v].set(arr)
+        expdot = res.expdot
+        var_np1, e_nm1, e_nm2 = ti.explicit_step(
+            phys, expdot, state.expdot_nm1, state.expdot_nm2, state.t, ts
+        )
+        impdot = res.impdot
+        i_nm1, i_nm2 = state.impdot_nm1, state.impdot_nm2
+        if semiimplicit:
+            w_new, xi_new = ti.semiimplicit_adjustment(
+                si_ops,
+                var_np1[w_i],
+                var_np1[xi_i],
+                impdot[w_i],
+                state.impdot_nm1[w_i],
+                state.impdot_nm2[w_i],
+                impdot[xi_i],
+                state.impdot_nm1[xi_i],
+                state.impdot_nm2[xi_i],
+                state.t,
+            )
+            var_np1 = var_np1.at[w_i].set(w_new).at[xi_i].set(xi_new)
+        if impdot is not None:
+            i_nm1, i_nm2 = impdot, state.impdot_nm1
+        if needs_condensation:
+            var_np1 = mp.condensation_adjustment(var_np1, impdot, ctx)
+        spec_new = grid.analysis(var_np1)
+        return ti.ModelState(
+            spec=spec_new,
+            expdot_nm1=e_nm1,
+            expdot_nm2=e_nm2,
+            impdot_nm1=i_nm1,
+            impdot_nm2=i_nm2,
+            t=state.t + 1,
+        )
+
+    return step
+
+
+def make_scan(step, n_steps: int):
+    def chunk(state):
+        def body(s, _):
+            return step(s), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return jax.jit(chunk)
+
+
+def initialize(model: ModelParameters, dtype=None):
+    """Build grid, context, initial state from the IC file (ref
+    initialize_model, semiimplicit.jl:126-193)."""
+    dtype = dtype or default_dtype()
+    grid = create_grid(model.grid_params, dtype)
+    ctx = build_context(model, grid, dtype)
+    phys0 = sio.read_physical_grid(model.initial_conditions, grid)
+    spec0 = grid.analysis(jnp.asarray(phys0, dtype))
+    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
+    return grid, ctx, state
+
+
+def integrate_model(model: ModelParameters, dtype=None, write_outputs=True):
+    """Public driver (ref integrate_model, src/Scythe.jl:37-62).
+
+    Runs ``integration_time / ts`` steps, writing CSV output and running the
+    NaN watchdog every ``output_interval`` (plus t=0 and the final time).
+    Returns (grid, final physical values [nvars, *spatial]).
+    """
+    dtype = dtype or default_dtype()
+    os.makedirs(model.output_dir, exist_ok=True)
+    handler = logging.FileHandler(os.path.join(model.output_dir, "scythe_out.log"))
+    log.addHandler(handler)
+    log.setLevel(logging.INFO)
+    try:
+        return _run(model, dtype, write_outputs)
+    finally:
+        log.removeHandler(handler)
+
+
+def _run(model: ModelParameters, dtype, write_outputs):
+    t_setup = _time.time()
+    grid, ctx, state = initialize(model, dtype)
+    step = build_step(model, grid, ctx, dtype)
+    num_ts = model.num_ts
+    output_int = max(1, min(model.output_int, num_ts))
+    scan = make_scan(step, output_int)
+    log.info(
+        "Initialized %s on %s grid: %d vars, %s points, %d steps",
+        model.equation_set,
+        grid.geometry,
+        grid.nvars,
+        grid.spatial_shape,
+        num_ts,
+    )
+
+    def fetch_phys(st):
+        return np.asarray(grid.synthesis(st.spec)["val"])
+
+    phys = fetch_phys(state)
+    if write_outputs:
+        sio.check_cfl(grid, phys)
+        sio.write_output(grid, model, 0.0, phys)
+    log.info("Setup in %.2fs; starting integration", _time.time() - t_setup)
+
+    t_run = _time.time()
+    steps_done = 0
+    while steps_done < num_ts:
+        n = min(output_int, num_ts - steps_done)
+        if n != output_int:
+            scan = make_scan(step, n)
+        state = scan(state)
+        steps_done += n
+        t_sim = steps_done * model.ts
+        phys = fetch_phys(state)
+        sio.check_cfl(grid, phys)
+        if write_outputs:
+            sio.write_output(grid, model, t_sim, phys)
+        log.info("ts: %s", t_sim)
+    wall = _time.time() - t_run
+    gps = grid.num_points * num_ts / wall if wall > 0 else float("inf")
+    log.info(
+        "Done: %d steps in %.3fs (%.1f steps/s, %.3e grid-point-steps/s)",
+        num_ts,
+        wall,
+        num_ts / wall,
+        gps,
+    )
+    return grid, phys

@@ -6,7 +6,9 @@ and slow); sharding tests use the 8 virtual CPU devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient environment may export JAX_PLATFORMS=axon (the
+# TPU tunnel); accuracy tests must run on the local CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +17,8 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")  # env alone is ignored when the
+# axon TPU plugin is present, so force it at the config level too
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu"
