@@ -1,0 +1,101 @@
+"""Benchmark harness: flagship two-layer shallow-water TC run.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the Cha & Bell (2024) Twoway_ShallowWater_Slab configuration
+(BASELINE.json config 4): RL grid, 100 radial cells (300 mish points) x 256
+azimuthal points, 6 variables, ts=3 s.  Metric is grid-point-steps/s on the
+accelerator (float32).
+
+``vs_baseline``: the reference (Julia) publishes no numbers and is not
+runnable in this container (no Julia toolchain), so the baseline is a
+measured proxy: the same numerics in float64 on this container's CPU via
+the XLA CPU backend — an optimistic stand-in for the reference's
+single-node multi-process envelope (the reference is float64 CPU-only,
+shared-memory; README.md:7).  vs_baseline = accel_gps / cpu_f64_gps.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(num_cells=100, nl=256, dtype=None):
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_model, _vortex_state
+    from scythe_tpu.grids.base import create_grid
+    from scythe_tpu.model import build_context, build_step
+
+    model = _flagship_model(num_cells=num_cells, nl=nl)
+    grid = create_grid(model.grid_params, dtype)
+    ctx = build_context(model, grid, dtype)
+    step = build_step(model, grid, ctx, dtype)
+    state = _vortex_state(grid, dtype)
+    return model, grid, step, state
+
+
+def measure(device, dtype, n_steps, reps=3):
+    import jax
+
+    from scythe_tpu.model import make_scan
+
+    with jax.default_device(device):
+        model, grid, step, state = build(dtype=dtype)
+        scan = make_scan(step, n_steps)
+        t0 = time.time()
+        state = jax.block_until_ready(scan(state))  # compile + warmup
+        compile_s = time.time() - t0
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            state = jax.block_until_ready(scan(state))
+            best = min(best, time.time() - t0)
+        if not np.isfinite(np.asarray(state.spec)).all():
+            raise FloatingPointError("benchmark run produced non-finite state")
+        gps = grid.num_points * n_steps / best
+        return dict(
+            points=grid.num_points,
+            steps_per_s=n_steps / best,
+            grid_point_steps_per_s=gps,
+            compile_s=compile_s,
+        )
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    accel = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    on_accel = accel.platform != "cpu"
+
+    import jax.numpy as jnp
+
+    accel_stats = measure(accel, jnp.float32 if on_accel else jnp.float64, 400)
+    print(
+        f"accel[{accel.device_kind if on_accel else 'cpu'}]: {accel_stats}",
+        file=sys.stderr,
+    )
+    cpu_stats = measure(cpu, jnp.float64, 50, reps=2)
+    print(f"cpu-f64 baseline proxy: {cpu_stats}", file=sys.stderr)
+
+    value = accel_stats["grid_point_steps_per_s"]
+    vs = value / cpu_stats["grid_point_steps_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "grid-point-steps/s, two-layer SW TC (RL 300x256, 6 vars)",
+                "value": round(value, 1),
+                "unit": "grid-point-steps/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,8 +48,22 @@ def build_context(model: ModelParameters, grid: Grid, dtype) -> EqContext:
     )
 
 
-def build_step(model: ModelParameters, grid: Grid, ctx: EqContext, dtype):
-    """Returns step(state) -> state, jittable and shard_map-able."""
+def build_step(
+    model: ModelParameters,
+    grid: Grid,
+    ctx: EqContext,
+    dtype,
+    analysis_fn=None,
+    synthesis_fn=None,
+):
+    """Returns step(state) -> state, jittable and shard_map-able.
+
+    ``analysis_fn``/``synthesis_fn`` default to the grid's transforms; the
+    sharded builder (parallel.sharding) overrides them with shard-local
+    synthesis and a project+psum+solve analysis.
+    """
+    analysis_fn = analysis_fn or grid.analysis
+    synthesis_fn = synthesis_fn or grid.synthesis
     eqset = get_equation_set(model.equation_set)
     opts = ctx.options
     p = grid.params
@@ -74,7 +88,7 @@ def build_step(model: ModelParameters, grid: Grid, ctx: EqContext, dtype):
     ts = model.ts
 
     def step(state: ti.ModelState) -> ti.ModelState:
-        fields = grid.synthesis(state.spec)
+        fields = synthesis_fn(state.spec)
         res = eqset(fields, ctx)
         phys = fields["val"]
         for v, arr in res.overrides.items():
@@ -103,7 +117,7 @@ def build_step(model: ModelParameters, grid: Grid, ctx: EqContext, dtype):
             i_nm1, i_nm2 = impdot, state.impdot_nm1
         if needs_condensation:
             var_np1 = mp.condensation_adjustment(var_np1, impdot, ctx)
-        spec_new = grid.analysis(var_np1)
+        spec_new = analysis_fn(var_np1)
         return ti.ModelState(
             spec=spec_new,
             expdot_nm1=e_nm1,

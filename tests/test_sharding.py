@@ -1,0 +1,131 @@
+"""Sharding invariance: the N-shard step must match the single-device step.
+
+The analog of the reference's implicit guarantee that results are
+independent of worker count (SURVEY.md 7.2 item 5) — here it holds exactly
+because the radial projection decomposes over cells.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scythe_tpu import BC, GridParameters, ModelParameters, create_grid
+from scythe_tpu.model import build_context, build_step, initialize, make_scan
+from scythe_tpu.parallel import sharding as sh
+
+
+def _advection_setup(tmp_path, num_cells=96):
+    gp = GridParameters(
+        geometry="R",
+        xmin=-48.0,
+        xmax=48.0,
+        num_cells=num_cells,
+        BCL={"u": BC.PERIODIC},
+        BCR={"u": BC.PERIODIC},
+        vars={"u": 1},
+    )
+    model = ModelParameters(
+        ts=0.05,
+        integration_time=5.0,
+        output_interval=5.0,
+        equation_set="LinearAdvection1D",
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        grid_params=gp,
+        physical_params={"c_0": 1.0, "K": 0.1},
+    )
+    grid = create_grid(gp)
+    r = grid.r_mish
+    u0 = np.exp(-((r / 15.0) ** 2))
+    with open(model.initial_conditions, "w") as f:
+        f.write("r,u\n")
+        for a, b in zip(r, u0):
+            f.write(f"{a},{b}\n")
+    return model
+
+
+def _slab_setup(tmp_path):
+    gp = GridParameters(
+        geometry="RL",
+        xmin=0.0,
+        xmax=3.0e5,
+        num_cells=32,
+        lDim=32,
+        BCL={
+            "h": BC.R1T1,
+            "u": BC.R1T0,
+            "v": BC.R1T0,
+            "ub": BC.R1T0,
+            "vb": BC.R1T0,
+            "wb": BC.R1T1,
+        },
+        BCR={
+            "h": BC.R0,
+            "u": BC.R1T1,
+            "v": BC.R0,
+            "ub": BC.R1T1,
+            "vb": BC.R0,
+            "wb": BC.R0,
+        },
+        vars={"h": 1, "u": 2, "v": 3, "ub": 4, "vb": 5, "wb": 6},
+    )
+    model = ModelParameters(
+        ts=3.0,
+        integration_time=60.0,
+        output_interval=60.0,
+        equation_set="Twoway_ShallowWater_Slab",
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        grid_params=gp,
+        physical_params={
+            "g": 9.81,
+            "K": 5000.0,
+            "Cd": 2.4e-3,
+            "Hfree": 2000.0,
+            "Hb": 1000.0,
+            "f": 5.0e-5,
+            "S1": 1.0e-5,
+        },
+    )
+    grid = create_grid(gp)
+    pts = grid.gridpoints()
+    r, lam = pts[:, 0], pts[:, 1]
+    # a weak Rankine-like vortex + wavenumber-2 perturbation
+    rm, vm = 5.0e4, 20.0
+    v = np.where(r < rm, vm * r / rm, vm * rm / r)
+    v = v * (1.0 + 0.05 * np.cos(2 * lam))
+    with open(model.initial_conditions, "w") as f:
+        f.write("r,l,h,u,v,ub,vb,wb\n")
+        for i in range(len(r)):
+            f.write(f"{r[i]},{lam[i]},0.0,0.0,{v[i]},0.0,{0.8*v[i]},0.0\n")
+    return model
+
+
+@pytest.mark.parametrize("setup", [_advection_setup, _slab_setup])
+def test_sharded_matches_single(tmp_path, setup):
+    model = setup(tmp_path)
+    n_steps = 10
+
+    grid, ctx, state = initialize(model)
+    step = build_step(model, grid, ctx, jnp.float64)
+    ref = make_scan(step, n_steps)(state)
+
+    mesh = sh.make_mesh(8)
+    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh)
+    sstep = sh.build_sharded_step(model, grid2, ctx2, jnp.float64, mesh)
+    out = make_scan(sstep, n_steps)(state2)
+
+    np.testing.assert_allclose(
+        np.asarray(out.spec), np.asarray(ref.spec), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.expdot_nm1), np.asarray(ref.expdot_nm1), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_mesh_size_must_divide_cells(tmp_path):
+    model = _advection_setup(tmp_path, num_cells=97)
+    mesh = sh.make_mesh(8)
+    with pytest.raises(ValueError):
+        sh.initialize_sharded(model, mesh)
