@@ -233,7 +233,7 @@ def BF02_test(fields, ctx: EqContext) -> EqResult:
     exp[5] = (
         (-u * dx[5])
         + (-w * (dz[5] + rs.mu_lbar[None, :, 1]))
-        + q_cond * td.dmudq(mu_l, q_l)
+        + q_cond * td.dmudq_source(mu_l, q_l)
         + K * (dxx[5] + dzz[5])
     )
     exp[6] = (-u * dx[6]) + (-w * dz[6]) + qss_cond
@@ -314,13 +314,13 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     exp[5] = (
         (-u * dx[5])
         + (-w * dz[5])
-        + td.dmudq(mu_c, q_c) * (q_cond - q_auto - q_coll)
+        + td.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll)
         + K * (dxx[5] + dzz[5])
     )
     exp[6] = (
         (-u * dx[6])
         + (-w * dz[6])
-        + td.dmudq(mu_r, q_r) * (q_auto + q_coll - q_evap - Vt_flux)
+        + td.dmudq_source(mu_r, q_r) * (q_auto + q_coll - q_evap - Vt_flux)
         + K * (dxx[6] + dzz[6])
     )
     exp[7] = (-u * dx[7]) + (-w * dz[7]) + qss_cond

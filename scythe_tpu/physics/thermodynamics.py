@@ -153,6 +153,19 @@ def dmudq(mu, q_v):
     return ((q_v + q0) - mu) / (q_v + q0)
 
 
+def dmudq_source(mu, q_v):
+    """dmudq clamped for use in q->mu source-term conversions.
+
+    Physical states have mu = bhyp(q) >= 0 where dmudq is in (0, 1];
+    spectral ringing can drive mu slightly negative, where the raw Jacobian
+    blows up like -mu/q0 (q0 = 1e-7) and turns roundoff-level undershoot
+    into an explosive feedback on the condensate tendencies.  Clamping at 2
+    only alters the unphysical mu < -q0 region.  (Stability guard; the
+    reference applies the raw Jacobian, microphysics.jl/testModels.jl.)
+    """
+    return jnp.minimum(dmudq(mu, q_v), 2.0)
+
+
 def dry_density(xi):
     return rho_d0 * jnp.exp(xi)
 
