@@ -65,9 +65,20 @@ def measure(device, dtype, n_steps, reps=3):
         )
 
 
+def _enable_compile_cache():
+    """First XLA compile through the TPU tunnel can take minutes; the
+    persistent cache makes reruns near-instant."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
     import jax
 
+    _enable_compile_cache()
     jax.config.update("jax_enable_x64", True)
     accel = jax.devices()[0]
     cpu = jax.devices("cpu")[0]
@@ -75,7 +86,7 @@ def main():
 
     import jax.numpy as jnp
 
-    accel_stats = measure(accel, jnp.float32 if on_accel else jnp.float64, 400)
+    accel_stats = measure(accel, jnp.float32 if on_accel else jnp.float64, 100)
     print(
         f"accel[{accel.device_kind if on_accel else 'cpu'}]: {accel_stats}",
         file=sys.stderr,

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""CLI launcher (ref run_Scythe.jl).
+
+Usage:
+    python run_scythe.py [options] model_file.py
+
+The model file is executable config (as in the reference, README.md:27): a
+Python script that defines a ``model = ModelParameters(...)`` variable.
+Parallelism flags replace the reference's worker/SGE machinery: ``--devices``
+selects how many local accelerator devices to shard the radial dimension
+over (the reference's tiles); multi-host runs use standard
+``jax.distributed`` initialization via environment variables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import runpy
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model", help="Python file defining `model = ModelParameters(...)`")
+    p.add_argument(
+        "-d",
+        "--devices",
+        type=int,
+        default=1,
+        help="number of devices to shard the radial dimension over (default 1)",
+    )
+    p.add_argument(
+        "--dtype",
+        choices=["f32", "f64"],
+        default="f32",
+        help="working precision (f64 enables jax x64 mode; slow on TPU)",
+    )
+    p.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu)")
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="call jax.distributed.initialize() for multi-host pods",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import os
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    if args.multihost:
+        jax.distributed.initialize()
+
+    import jax.numpy as jnp
+
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+
+    ns = runpy.run_path(args.model)
+    if "model" not in ns:
+        sys.exit(f"{args.model} must define a `model = ModelParameters(...)`")
+    model = ns["model"]
+
+    print(
+        f"Initializing {model.equation_set} on {len(jax.devices())} "
+        f"available device(s), using {args.devices}"
+    )
+    t0 = time.time()
+    if args.devices > 1:
+        from scythe_tpu.model import make_scan
+        from scythe_tpu.parallel import sharding as sh
+        from scythe_tpu import io as sio
+        import numpy as np
+
+        mesh = sh.make_mesh(args.devices)
+        grid, ctx, state = sh.initialize_sharded(model, mesh, dtype)
+        step = sh.build_sharded_step(model, grid, ctx, dtype, mesh)
+        num_ts = model.num_ts
+        output_int = max(1, min(model.output_int, num_ts))
+        scan = make_scan(step, output_int)
+        phys = np.asarray(grid.synthesis(state.spec)["val"])
+        sio.check_cfl(grid, phys)
+        sio.write_output(grid, model, 0.0, phys)
+        done = 0
+        while done < num_ts:
+            n = min(output_int, num_ts - done)
+            if n != output_int:
+                scan = make_scan(step, n)
+            state = scan(state)
+            done += n
+            phys = np.asarray(grid.synthesis(state.spec)["val"])
+            sio.check_cfl(grid, phys)
+            sio.write_output(grid, model, done * model.ts, phys)
+            print(f"ts: {done * model.ts}", flush=True)
+    else:
+        from scythe_tpu import integrate_model
+
+        integrate_model(model, dtype=dtype)
+    print(f"All done! ({time.time() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

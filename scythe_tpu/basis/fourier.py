@@ -7,9 +7,14 @@ per-ring layout is hostile to XLA's static shapes, so the TPU-native design
 uses a *uniform* number of azimuthal points ``nl`` for every ring together
 with a per-ring spectral mask: ring i keeps only wavenumbers
 ``k <= kmax_i ~ pi * r_i / dr`` so the resolved azimuthal arc length matches
-the radial resolution everywhere and the polar axis stays regular.  This
-keeps every transform a dense batched rFFT/matmul while reproducing the
-reference's variable-resolution semantics.
+the radial resolution everywhere and the polar axis stays regular.
+
+Transforms are precomputed dense real-DFT matrices applied as matmuls
+rather than FFTs: at ring sizes of O(10^2-10^3) the [nl, nl] matmul runs on
+the MXU, fuses with the adjacent radial/vertical operator contractions, and
+avoids complex arithmetic entirely (also: FFT is not implemented on some
+TPU runtimes).  Coefficient layout for even nl:
+    [mean, cos(1..nl/2), sin(1..nl/2-1)]  (nl real coefficients).
 
 Azimuthal derivative slots are with respect to the angle lambda itself
 (physical operators divide by r at point of use, matching the reference
@@ -18,26 +23,71 @@ equation sets, e.g. src/shallowWaterModels.jl:291-293).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 
 def ring_kmax(r: np.ndarray, dr: float, nl: int, l_q: float = 2.0) -> np.ndarray:
-    """Max resolved azimuthal wavenumber per ring.
-
-    Criterion: finest resolved arc wavelength 2 pi r / k >= l_q * dr
-    (the same cutoff scale as the radial spline filter), capped by the
-    uniform grid Nyquist nl // 2.
-    """
+    """Max resolved azimuthal wavenumber per ring: finest resolved arc
+    wavelength 2 pi r / k >= l_q * dr, capped by the uniform Nyquist."""
     lq = l_q if l_q > 0 else 2.0
     kmax = np.floor(2.0 * np.pi * np.asarray(r) / (lq * dr)).astype(int)
     return np.clip(kmax, 1, nl // 2)
 
 
-def ring_mask(r: np.ndarray, dr: float, nl: int, l_q: float = 2.0) -> np.ndarray:
-    """[nr, nl//2 + 1] float mask over rfft wavenumbers for each ring."""
+def coeff_wavenumbers(nl: int) -> np.ndarray:
+    """Wavenumber of each real coefficient slot."""
+    half = nl // 2
+    return np.concatenate(
+        [[0], np.arange(1, half + 1), np.arange(1, half)]
+    ).astype(int)
+
+
+def ring_coeff_mask(r: np.ndarray, dr: float, nl: int, l_q: float = 2.0) -> np.ndarray:
+    """[nr, nl] float mask over real coefficient slots for each ring."""
     kmax = ring_kmax(r, dr, nl, l_q)
-    k = np.arange(nl // 2 + 1)
+    k = coeff_wavenumbers(nl)
     return (k[None, :] <= kmax[:, None]).astype(np.float64)
+
+
+@lru_cache(maxsize=None)
+def dft_matrices(nl: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(analysis, synth, dsynth, d2synth), each [nl, nl] float64.
+
+    analysis: values -> real coefficients; synth: coefficients -> values;
+    dsynth/d2synth: coefficients -> d/dlambda, d2/dlambda2 values.  The
+    Nyquist cosine's derivative (a pure sine at k = nl/2, not representable
+    on the grid) is set to its collocated value of zero, the standard
+    choice.
+    """
+    if nl % 2:
+        raise ValueError("nl must be even")
+    lam = 2.0 * np.pi * np.arange(nl) / nl
+    half = nl // 2
+    cols = [np.ones(nl)]
+    dcols = [np.zeros(nl)]
+    d2cols = [np.zeros(nl)]
+    for k in range(1, half + 1):
+        cols.append(np.cos(k * lam))
+        if k == half:
+            dcols.append(np.zeros(nl))  # Nyquist: -k sin(k lam) == 0 on grid
+        else:
+            dcols.append(-k * np.sin(k * lam))
+        d2cols.append(-(k**2) * np.cos(k * lam))
+    for k in range(1, half):
+        cols.append(np.sin(k * lam))
+        dcols.append(k * np.cos(k * lam))
+        d2cols.append(-(k**2) * np.sin(k * lam))
+    synth = np.stack(cols, axis=1)
+    dsynth = np.stack(dcols, axis=1)
+    d2synth = np.stack(d2cols, axis=1)
+    # exact inverse by orthogonality: scale rows of synth^T
+    scale = np.full(nl, 2.0 / nl)
+    scale[0] = 1.0 / nl
+    scale[half] = 1.0 / nl  # Nyquist cosine
+    analysis = scale[:, None] * synth.T
+    return analysis, synth, dsynth, d2synth
 
 
 def default_nl(num_cells: int, requested: int = 0) -> int:
@@ -45,12 +95,10 @@ def default_nl(num_cells: int, requested: int = 0) -> int:
 
     If the user requested an explicit ``lDim`` use the next even value;
     otherwise size so the *outermost* ring is dealiased at roughly the
-    radial mish resolution, rounded up to a power of two for FFT/TPU
-    friendliness (bounded to keep memory sane).
-    """
+    radial mish resolution, rounded up to a power of two (bounded)."""
     if requested:
         return int(requested + (requested % 2))
-    target = 2 * np.pi * (3 * num_cells) / 2.0  # points ~ pi * rDim
+    target = 2 * np.pi * (3 * num_cells) / 2.0
     nl = 8
     while nl < target and nl < 2048:
         nl *= 2

@@ -46,9 +46,13 @@ class Grid:
     project_r: jnp.ndarray  # [nb, rDim] (var-independent local quadrature)
     msolve_r: jnp.ndarray  # [nvars, nb, nb]
     synth_r: jnp.ndarray  # [3, rDim, nb]
-    # azimuthal
+    # azimuthal (real-DFT matmul operators; see basis/fourier.py)
     nl: int = 0
-    ring_mask: jnp.ndarray | None = None  # [rDim, nl//2+1]
+    ring_mask: jnp.ndarray | None = None  # [rDim, nl] over real coeff slots
+    l_analysis: jnp.ndarray | None = None  # [nl, nl] values -> coeffs
+    l_synth: jnp.ndarray | None = None  # [nl, nl] coeffs -> values
+    l_dsynth: jnp.ndarray | None = None  # [nl, nl] coeffs -> d/dlambda
+    l_d2synth: jnp.ndarray | None = None  # [nl, nl] coeffs -> d2/dlambda2
     # vertical
     z_mish: np.ndarray | None = None  # [nz]
     analysis_z: jnp.ndarray | None = None  # [nvars, nz, nz] (constrain @ dct)
@@ -141,27 +145,28 @@ class Grid:
         return np.stack([rr.ravel(), ll.ravel(), zz.ravel()], axis=1)
 
     # ------------------------------------------------------------------
-    # Azimuthal helpers
-    def _lambda_filter(self, phys: jnp.ndarray, l_axis: int) -> jnp.ndarray:
-        """Apply the per-ring azimuthal wavenumber mask (dealiasing)."""
-        coef = jnp.fft.rfft(phys, axis=l_axis)
-        mask = self.ring_mask  # [rDim, nk]
-        shape = [1] * coef.ndim
-        shape[1] = mask.shape[0]  # r axis is axis 1 of [nvars, rDim, ...]
-        shape[l_axis] = mask.shape[1]
-        coef = coef * mask.reshape(shape)
-        return jnp.fft.irfft(coef, n=phys.shape[l_axis], axis=l_axis).astype(self.dtype)
+    # Azimuthal helpers: real-DFT matmuls (MXU-friendly, no FFT dependency)
+    def _l_coeffs(self, phys: jnp.ndarray) -> jnp.ndarray:
+        """values -> masked real Fourier coefficients along the lambda axis
+        (axis 2 of [nvars, rDim, nl, ...])."""
+        if phys.ndim == 3:
+            hat = jnp.einsum("kl,vrl->vrk", self.l_analysis, phys)
+            return hat * self.ring_mask[None, :, :]
+        hat = jnp.einsum("kl,vrlz->vrkz", self.l_analysis, phys)
+        return hat * self.ring_mask[None, :, :, None]
 
-    def _lambda_derivs(self, val: jnp.ndarray, l_axis: int):
-        nl = val.shape[l_axis]
-        coef = jnp.fft.rfft(val, axis=l_axis)
-        k = jnp.arange(nl // 2 + 1, dtype=coef.real.dtype)
-        shape = [1] * coef.ndim
-        shape[l_axis] = k.shape[0]
-        k = k.reshape(shape)
-        dl = jnp.fft.irfft(1j * k * coef, n=nl, axis=l_axis).astype(self.dtype)
-        dll = jnp.fft.irfft(-(k**2) * coef, n=nl, axis=l_axis).astype(self.dtype)
-        return dl, dll
+    def _l_apply(self, hat: jnp.ndarray, op: jnp.ndarray) -> jnp.ndarray:
+        if hat.ndim == 3:
+            return jnp.einsum("lk,vrk->vrl", op, hat)
+        return jnp.einsum("lk,vrkz->vrlz", op, hat)
+
+    def _lambda_filter(self, phys: jnp.ndarray, l_axis: int = 2) -> jnp.ndarray:
+        """Per-ring azimuthal wavenumber masking (dealiasing)."""
+        return self._l_apply(self._l_coeffs(phys), self.l_synth)
+
+    def _lambda_derivs(self, val: jnp.ndarray, l_axis: int = 2):
+        hat = self._l_coeffs(val)
+        return self._l_apply(hat, self.l_dsynth), self._l_apply(hat, self.l_d2synth)
 
     # ------------------------------------------------------------------
     def analysis(self, phys: jnp.ndarray) -> jnp.ndarray:
@@ -285,7 +290,14 @@ def create_grid(params: GridParameters, dtype=jnp.float32) -> Grid:
         nl = fourier.default_nl(p.num_cells, p.lDim)
         dr = (p.xmax - p.xmin) / p.num_cells
         grid.nl = nl
-        grid.ring_mask = jnp.asarray(fourier.ring_mask(r_mish, dr, nl, p.l_q), dtype)
+        grid.ring_mask = jnp.asarray(
+            fourier.ring_coeff_mask(r_mish, dr, nl, p.l_q), dtype
+        )
+        la, ls, ld, ld2 = fourier.dft_matrices(nl)
+        grid.l_analysis = jnp.asarray(la, dtype)
+        grid.l_synth = jnp.asarray(ls, dtype)
+        grid.l_dsynth = jnp.asarray(ld, dtype)
+        grid.l_d2synth = jnp.asarray(ld2, dtype)
 
     # --- vertical -------------------------------------------------------
     if p.geometry in ("RZ", "RLZ"):

@@ -27,8 +27,9 @@ except Exception:  # pragma: no cover - fallback path
 
 def _read_csv(path: str) -> tuple[list[str], np.ndarray]:
     if _nio is not None:
-        names, data = _nio.read_csv(path)
-        return list(names), np.asarray(data)
+        names, nrows, ncols, raw = _nio.read_csv(path)
+        data = np.frombuffer(raw, dtype=np.float64).reshape(nrows, ncols)
+        return list(names), data
     with open(path) as f:
         header = f.readline().strip().split(",")
     data = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
@@ -37,7 +38,8 @@ def _read_csv(path: str) -> tuple[list[str], np.ndarray]:
 
 def _write_csv(path: str, names: list[str], cols: np.ndarray) -> None:
     if _nio is not None:
-        _nio.write_csv(path, names, np.ascontiguousarray(cols, np.float64))
+        arr = np.ascontiguousarray(cols, np.float64)
+        _nio.write_csv(path, list(names), arr.data, arr.shape[0], arr.shape[1])
         return
     header = ",".join(names)
     np.savetxt(path, cols, delimiter=",", header=header, comments="", fmt="%.17g")
