@@ -153,12 +153,25 @@ def initialize(model: ModelParameters, dtype=None):
     return grid, ctx, state
 
 
-def integrate_model(model: ModelParameters, dtype=None, write_outputs=True):
+def integrate_model(
+    model: ModelParameters,
+    dtype=None,
+    write_outputs=True,
+    resume_from: str | None = None,
+    profile_dir: str | None = None,
+):
     """Public driver (ref integrate_model, src/Scythe.jl:37-62).
 
     Runs ``integration_time / ts`` steps, writing CSV output and running the
     NaN watchdog every ``output_interval`` (plus t=0 and the final time).
     Returns (grid, final physical values [nvars, *spatial]).
+
+    Beyond the reference:
+    * ``options['checkpoint_interval']`` (seconds) writes binary full-state
+      checkpoints (spectral coefficients + multistep history) alongside the
+      CSV output; ``resume_from`` restarts bitwise-exactly from one — the
+      reference's only restart path is lossy CSV round-tripping (SURVEY.md 5).
+    * ``profile_dir`` wraps the loop in a JAX profiler trace.
     """
     dtype = dtype or default_dtype()
     os.makedirs(model.output_dir, exist_ok=True)
@@ -166,14 +179,21 @@ def integrate_model(model: ModelParameters, dtype=None, write_outputs=True):
     log.addHandler(handler)
     log.setLevel(logging.INFO)
     try:
-        return _run(model, dtype, write_outputs)
+        if profile_dir:
+            with jax.profiler.trace(profile_dir):
+                return _run(model, dtype, write_outputs, resume_from)
+        return _run(model, dtype, write_outputs, resume_from)
     finally:
         log.removeHandler(handler)
 
 
-def _run(model: ModelParameters, dtype, write_outputs):
+def _run(model: ModelParameters, dtype, write_outputs, resume_from=None):
     t_setup = _time.time()
     grid, ctx, state = initialize(model, dtype)
+    t_sim0 = 0.0
+    if resume_from:
+        state, t_sim0 = sio.load_checkpoint(resume_from, dtype)
+        log.info("Resumed from %s at t=%s (step %d)", resume_from, t_sim0, int(state.t))
     step = build_step(model, grid, ctx, dtype)
     num_ts = model.num_ts
     output_int = max(1, min(model.output_int, num_ts))
@@ -190,10 +210,13 @@ def _run(model: ModelParameters, dtype, write_outputs):
     def fetch_phys(st):
         return np.asarray(grid.synthesis(st.spec)["val"])
 
+    ckpt_interval = ctx.options.get("checkpoint_interval", 0.0)
+    ckpt_int = int(round(ckpt_interval / model.ts)) if ckpt_interval else 0
+
     phys = fetch_phys(state)
-    if write_outputs:
+    if write_outputs and not resume_from:
         sio.check_cfl(grid, phys)
-        sio.write_output(grid, model, 0.0, phys)
+        sio.write_output(grid, model, t_sim0, phys)
     log.info("Setup in %.2fs; starting integration", _time.time() - t_setup)
 
     t_run = _time.time()
@@ -204,11 +227,17 @@ def _run(model: ModelParameters, dtype, write_outputs):
             scan = make_scan(step, n)
         state = scan(state)
         steps_done += n
-        t_sim = steps_done * model.ts
+        t_sim = t_sim0 + steps_done * model.ts
         phys = fetch_phys(state)
         sio.check_cfl(grid, phys)
         if write_outputs:
             sio.write_output(grid, model, t_sim, phys)
+        if ckpt_int and steps_done % ckpt_int == 0:
+            path = os.path.join(
+                model.output_dir, f"checkpoint_{round(t_sim, 2)}.npz"
+            )
+            sio.save_checkpoint(path, state, t_sim)
+            log.info("checkpoint: %s", path)
         log.info("ts: %s", t_sim)
     wall = _time.time() - t_run
     gps = grid.num_points * num_ts / wall if wall > 0 else float("inf")

@@ -1,0 +1,168 @@
+"""RLZ-grid end-to-end tests and TCBL equation sets."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scythe_tpu import BC, GridParameters, ModelParameters, create_grid, integrate_model
+
+
+def test_rlz_advection(tmp_path):
+    """Solid-body rotation on the RLZ grid: a blob advected azimuthally by
+    half a revolution ends up on the opposite side."""
+    gp = GridParameters(
+        geometry="RLZ",
+        xmin=0.0,
+        xmax=100.0,
+        num_cells=10,
+        lDim=32,
+        zmin=0.0,
+        zmax=50.0,
+        zDim=8,
+        BCL={"h": BC.R1T1},
+        vars={"h": 1, "u": 2, "v": 3},
+    )
+    omega = 2.0 * np.pi / 100.0  # one revolution per 100 s
+    model = ModelParameters(
+        ts=0.05,
+        integration_time=50.0,
+        output_interval=50.0,
+        equation_set="LinearAdvectionRLZ",
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        grid_params=gp,
+        physical_params={"K": 0.0},
+    )
+    grid = create_grid(gp, jnp.float64)
+    pts = grid.gridpoints()
+    r, lam, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    h0 = np.exp(-(((r - 50.0) / 20.0) ** 2)) * np.exp(
+        -((np.cos(lam) - 1.0) ** 2) * 4.0
+    )
+    v = omega * r  # solid body: dl/dt = omega
+    with open(model.initial_conditions, "w") as f:
+        f.write("r,l,z,h,u,v\n")
+        for i in range(len(r)):
+            f.write(f"{r[i]},{lam[i]},{z[i]},{h0[i]},0.0,{v[i]}\n")
+    grid, phys = integrate_model(model, write_outputs=False)
+    h = phys[0].reshape(-1)
+    # expected: rotated by pi
+    h_expect = np.exp(-(((r - 50.0) / 20.0) ** 2)) * np.exp(
+        -((np.cos(lam - np.pi) - 1.0) ** 2) * 4.0
+    )
+    err = np.sqrt(np.mean((h - h_expect) ** 2)) / h_expect.max()
+    assert err < 0.08, err
+
+
+def test_height_resolved_bl_smoke(tmp_path):
+    """Oneway_ShallowWater_HeightResolvedBL: balanced vortex spins a BL."""
+    gp = GridParameters(
+        geometry="RLZ",
+        xmin=0.0,
+        xmax=2.0e5,
+        num_cells=16,
+        lDim=16,
+        zmin=0.0,
+        zmax=2000.0,
+        zDim=12,
+        BCL={
+            "h": BC.R1T1,
+            "u": BC.R1T0,
+            "v": BC.R1T0,
+            "ub": BC.R1T0,
+            "vb": BC.R1T0,
+            "wb": BC.R1T1,
+        },
+        BCR={"h": BC.R0, "u": BC.R1T1, "v": BC.R0, "ub": BC.R1T1, "vb": BC.R0},
+        vars={"h": 1, "u": 2, "v": 3, "ub": 4, "vb": 5, "wb": 6},
+    )
+    # explicit vertical diffusion limit: Kv ~ l^2 S up to ~3000 m^2/s with
+    # ~35 m min Chebyshev spacing -> dt < ~0.2 s
+    model = ModelParameters(
+        ts=0.2,
+        integration_time=300.0,
+        output_interval=300.0,
+        equation_set="Oneway_ShallowWater_HeightResolvedBL",
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        grid_params=gp,
+        physical_params={
+            "g": 9.81,
+            "Kh": 3000.0,
+            "Cd": 2.4e-3,
+            "Hfree": 2000.0,
+            "f": 5.0e-5,
+            "Um": 0.0,
+            "Vm": 0.0,
+        },
+    )
+    grid = create_grid(gp, jnp.float64)
+    pts = grid.gridpoints()
+    r, lam, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    rm, vm = 5.0e4, 20.0
+    f_cor, g = 5.0e-5, 9.81
+    v = np.where(r < rm, vm * r / rm, vm * rm / r)
+    # gradient-wind-balanced free-layer height: dh/dr = (f v + v^2/r)/g
+    r_u = np.unique(r)
+    v_u = np.where(r_u < rm, vm * r_u / rm, vm * rm / r_u)
+    dhdr_u = (f_cor * v_u + v_u**2 / r_u) / g
+    h_u = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (dhdr_u[1:] + dhdr_u[:-1]) * np.diff(r_u))]
+    )
+    h = h_u[np.searchsorted(r_u, r)]
+    with open(model.initial_conditions, "w") as f:
+        f.write("r,l,z,h,u,v,ub,vb,wb\n")
+        for i in range(len(r)):
+            f.write(f"{r[i]},{lam[i]},{z[i]},{h[i]},0.0,{v[i]},0.0,{v[i]},0.0\n")
+    grid, phys = integrate_model(model, write_outputs=False)
+    assert np.isfinite(phys).all()
+    # surface drag must decelerate the BL tangential wind at low levels
+    vb = phys[4].reshape(grid.spatial_shape)
+    v0 = v.reshape(grid.spatial_shape)
+    assert vb[:, :, 0].max() < v0[:, :, 0].max()
+    # and produce BL inflow (negative ub) somewhere
+    assert phys[3].min() < -0.01
+
+
+def test_slab_tcbl_spindown(tmp_path):
+    """Williams (2013) slab TCBL (repaired): drag + imbalance develop
+    inflow below a fixed gradient wind."""
+    gp = GridParameters(
+        geometry="R",
+        xmin=0.0,
+        xmax=2.0e5,
+        num_cells=40,
+        BCL={"vgr": BC.R1T0, "u": BC.R1T0, "v": BC.R1T0, "w": BC.R1T1},
+        BCR={"vgr": BC.R0, "u": BC.R1T1, "v": BC.R0, "w": BC.R0},
+        vars={"vgr": 1, "u": 2, "v": 3, "w": 4},
+    )
+    model = ModelParameters(
+        ts=5.0,
+        integration_time=1800.0,
+        output_interval=1800.0,
+        equation_set="Williams2013_slabTCBL",
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        grid_params=gp,
+        physical_params={"K": 1500.0, "Cd": 2.4e-3, "h": 1000.0, "f": 5.0e-5},
+    )
+    grid = create_grid(gp, jnp.float64)
+    r = grid.gridpoints()[:, 0]
+    rm, vm = 5.0e4, 30.0
+    vgr = np.where(r < rm, vm * r / rm, vm * rm / r)
+    with open(model.initial_conditions, "w") as f:
+        f.write("r,vgr,u,v,w\n")
+        for i in range(len(r)):
+            f.write(f"{r[i]},{vgr[i]},0.0,{vgr[i]},0.0\n")
+    grid, phys = integrate_model(model, write_outputs=False)
+    assert np.isfinite(phys).all()
+    # BL inflow develops (u < 0) and v is reduced below gradient wind
+    assert phys[1].min() < -0.5
+    assert phys[2].max() < vgr.max()
+    # diagnostic w from BL convergence is populated
+    assert np.abs(phys[3]).max() > 1e-4
+
+
+def test_z_geometry_not_implemented():
+    with pytest.raises(ValueError):
+        create_grid(GridParameters(geometry="Z", vars={"u": 1}))
