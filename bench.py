@@ -75,6 +75,86 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def rlz_transform_bench(device, dtype, reps=20):
+    """Transform-only throughput on a 3-D RLZ grid (the BASELINE.json
+    primary metric 'grid-points/s per chip (RLZ transforms)'): one full
+    synthesis (all 7 derivative slots) + analysis round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from scythe_tpu import GridParameters, create_grid
+
+    with jax.default_device(device):
+        gp = GridParameters(
+            geometry="RLZ",
+            xmin=0.0,
+            xmax=3.0e5,
+            num_cells=64,
+            lDim=128,
+            zmin=0.0,
+            zmax=1.0e4,
+            zDim=60,
+            vars={n: i + 1 for i, n in enumerate("abcdefgh")},
+        )
+        grid = create_grid(gp, dtype)
+        spec = jnp.ones(grid.spectral_shape, dtype) * 1e-3
+
+        def roundtrip(s):
+            return grid.analysis(grid.synthesis(s)["val"])
+
+        f = jax.jit(roundtrip)
+        t0 = time.time()
+        out = jax.block_until_ready(f(spec))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(reps):
+            out = f(out)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / reps
+        gps = grid.num_points * gp.nvars / dt
+        return dict(
+            points=grid.num_points,
+            nvars=gp.nvars,
+            transform_roundtrips_per_s=1.0 / dt,
+            grid_points_per_s=gps,
+            compile_s=compile_s,
+        )
+
+
+def scaling_bench(n_steps=20):
+    """Weak-ish scaling over however many devices are visible (virtual CPU
+    mesh in this container; real ICI mesh on a pod)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scythe_tpu.model import build_context, make_scan
+    from scythe_tpu.parallel import sharding as sh
+    from scythe_tpu.grids.base import create_grid
+    from __graft_entry__ import _flagship_model, _vortex_state
+
+    results = {}
+    ndev = len(jax.devices())
+    for n in [1, 2, 4, 8]:
+        if n > ndev:
+            break
+        model = _flagship_model(num_cells=12 * n, nl=64)
+        mesh = sh.make_mesh(n)
+        grid = create_grid(model.grid_params, jnp.float32)
+        ctx = build_context(model, grid, jnp.float32)
+        state = sh.shard_state(_vortex_state(grid, jnp.float32), mesh)
+        step = sh.build_sharded_step(model, grid, ctx, jnp.float32, mesh)
+        scan = make_scan(step, n_steps)
+        state = jax.block_until_ready(scan(state))
+        t0 = time.time()
+        state = jax.block_until_ready(scan(state))
+        dt = time.time() - t0
+        results[n] = grid.num_points * n_steps / dt
+    base = results[1]
+    return {
+        n: dict(gps=v, weak_scaling_eff=v / (n * base)) for n, v in results.items()
+    }
+
+
 def main():
     import jax
 
@@ -93,6 +173,11 @@ def main():
     )
     cpu_stats = measure(cpu, jnp.float64, 50, reps=2)
     print(f"cpu-f64 baseline proxy: {cpu_stats}", file=sys.stderr)
+
+    if "--full" in sys.argv:
+        rlz = rlz_transform_bench(accel, jnp.float32 if on_accel else jnp.float64)
+        print(f"RLZ transforms: {rlz}", file=sys.stderr)
+        print(f"scaling: {scaling_bench()}", file=sys.stderr)
 
     value = accel_stats["grid_point_steps_per_s"]
     vs = value / cpu_stats["grid_point_steps_per_s"]

@@ -46,13 +46,14 @@ class Grid:
     project_r: jnp.ndarray  # [nb, rDim] (var-independent local quadrature)
     msolve_r: jnp.ndarray  # [nvars, nb, nb]
     synth_r: jnp.ndarray  # [3, rDim, nb]
-    # azimuthal (real-DFT matmul operators; see basis/fourier.py)
+    # azimuthal (real-DFT matmul operators; see basis/fourier.py).  The
+    # spectral state keeps lambda in coefficient space, so synthesis needs
+    # no analysis round-trip for the angular derivatives.
     nl: int = 0
     ring_mask: jnp.ndarray | None = None  # [rDim, nl] over real coeff slots
     l_analysis: jnp.ndarray | None = None  # [nl, nl] values -> coeffs
     l_synth: jnp.ndarray | None = None  # [nl, nl] coeffs -> values
-    l_dsynth: jnp.ndarray | None = None  # [nl, nl] coeffs -> d/dlambda
-    l_d2synth: jnp.ndarray | None = None  # [nl, nl] coeffs -> d2/dlambda2
+    l_deriv2: jnp.ndarray | None = None  # [2, nl, nl] coeffs -> (dl, dll)
     # vertical
     z_mish: np.ndarray | None = None  # [nz]
     analysis_z: jnp.ndarray | None = None  # [nvars, nz, nz] (constrain @ dct)
@@ -145,7 +146,7 @@ class Grid:
         return np.stack([rr.ravel(), ll.ravel(), zz.ravel()], axis=1)
 
     # ------------------------------------------------------------------
-    # Azimuthal helpers: real-DFT matmuls (MXU-friendly, no FFT dependency)
+    # Azimuthal helper: real-DFT analysis + per-ring mask (MXU matmuls)
     def _l_coeffs(self, phys: jnp.ndarray) -> jnp.ndarray:
         """values -> masked real Fourier coefficients along the lambda axis
         (axis 2 of [nvars, rDim, nl, ...])."""
@@ -155,34 +156,26 @@ class Grid:
         hat = jnp.einsum("kl,vrlz->vrkz", self.l_analysis, phys)
         return hat * self.ring_mask[None, :, :, None]
 
-    def _l_apply(self, hat: jnp.ndarray, op: jnp.ndarray) -> jnp.ndarray:
-        if hat.ndim == 3:
-            return jnp.einsum("lk,vrk->vrl", op, hat)
-        return jnp.einsum("lk,vrkz->vrlz", op, hat)
-
-    def _lambda_filter(self, phys: jnp.ndarray, l_axis: int = 2) -> jnp.ndarray:
-        """Per-ring azimuthal wavenumber masking (dealiasing)."""
-        return self._l_apply(self._l_coeffs(phys), self.l_synth)
-
-    def _lambda_derivs(self, val: jnp.ndarray, l_axis: int = 2):
-        hat = self._l_coeffs(val)
-        return self._l_apply(hat, self.l_dsynth), self._l_apply(hat, self.l_d2synth)
-
     # ------------------------------------------------------------------
     def analysis(self, phys: jnp.ndarray) -> jnp.ndarray:
-        """physical [nvars, *spatial] -> spectral (ref spectralTransform!)."""
+        """physical [nvars, *spatial] -> spectral (ref spectralTransform!).
+
+        Spectral layout: [nvars, b_rDim] (R), [nvars, b_rDim, nl-coeff]
+        (RL), [nvars, b_rDim, nz-coeff] (RZ), [nvars, b_rDim, nl-coeff,
+        nz-coeff] (RLZ) — every non-radial axis in coefficient space."""
         g = self.geometry
         if g == "R":
             return jnp.einsum("vbr,vr->vb", self.analysis_r, phys)
         if g == "RL":
-            f = self._lambda_filter(phys, 2)
-            return jnp.einsum("vbr,vrl->vbl", self.analysis_r, f)
+            hat = self._l_coeffs(phys)
+            return jnp.einsum("vbr,vrk->vbk", self.analysis_r, hat)
         if g == "RZ":
             zc = jnp.einsum("vkz,vrz->vrk", self.analysis_z, phys)
             return jnp.einsum("vbr,vrk->vbk", self.analysis_r, zc)
-        f = self._lambda_filter(phys, 2)
-        zc = jnp.einsum("vkz,vrlz->vrlk", self.analysis_z, f)
-        return jnp.einsum("vbr,vrlk->vblk", self.analysis_r, zc)
+        zc = jnp.einsum("vKz,vrlz->vrlK", self.analysis_z, phys)
+        hat = jnp.einsum("kl,vrlK->vrkK", self.l_analysis, zc)
+        hat = hat * self.ring_mask[None, :, :, None]
+        return jnp.einsum("vbr,vrkK->vbkK", self.analysis_r, hat)
 
     def project(self, phys: jnp.ndarray) -> jnp.ndarray:
         """Local (decomposable) radial quadrature projection.  Summing
@@ -192,14 +185,15 @@ class Grid:
         if g == "R":
             return jnp.einsum("br,vr->vb", self.project_r, phys)
         if g == "RL":
-            f = self._lambda_filter(phys, 2)
-            return jnp.einsum("br,vrl->vbl", self.project_r, f)
+            hat = self._l_coeffs(phys)
+            return jnp.einsum("br,vrk->vbk", self.project_r, hat)
         if g == "RZ":
             zc = jnp.einsum("vkz,vrz->vrk", self.analysis_z, phys)
             return jnp.einsum("br,vrk->vbk", self.project_r, zc)
-        f = self._lambda_filter(phys, 2)
-        zc = jnp.einsum("vkz,vrlz->vrlk", self.analysis_z, f)
-        return jnp.einsum("br,vrlk->vblk", self.project_r, zc)
+        zc = jnp.einsum("vKz,vrlz->vrlK", self.analysis_z, phys)
+        hat = jnp.einsum("kl,vrlK->vrkK", self.l_analysis, zc)
+        hat = hat * self.ring_mask[None, :, :, None]
+        return jnp.einsum("br,vrkK->vbkK", self.project_r, hat)
 
     def solve_spectral(self, proj: jnp.ndarray) -> jnp.ndarray:
         """Apply the (small, replicated) Gram/filter/BC solve to a summed
@@ -208,7 +202,8 @@ class Grid:
 
     def synthesis(self, spec: jnp.ndarray) -> dict[str, jnp.ndarray]:
         """spectral -> all physical derivative slots (ref gridTransform! /
-        tileTransform!; slot layout SURVEY.md 2.4)."""
+        tileTransform!; slot layout SURVEY.md 2.4).  Each stage is a single
+        stacked GEMM over all variables and slots."""
         g = self.geometry
         out: dict[str, jnp.ndarray] = {}
         if g == "R":
@@ -216,27 +211,28 @@ class Grid:
             out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
             return out
         if g == "RL":
-            r3 = jnp.einsum("drb,vbl->vdrl", self.synth_r, spec)
-            out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
-            out["dl"], out["dll"] = self._lambda_derivs(out["val"], 2)
+            r3 = jnp.einsum("drb,vbk->vdrk", self.synth_r, spec)
+            v3 = jnp.einsum("lk,vdrk->vdrl", self.l_synth, r3)
+            out["val"], out["dr"], out["drr"] = v3[:, 0], v3[:, 1], v3[:, 2]
+            d2 = jnp.einsum("dlk,vrk->vdrl", self.l_deriv2, r3[:, 0])
+            out["dl"], out["dll"] = d2[:, 0], d2[:, 1]
             return out
         if g == "RZ":
             rz = jnp.einsum("drb,vbk->vdrk", self.synth_r, spec)
-            zval = self.synth_z[0]
-            out["val"] = jnp.einsum("zk,vrk->vrz", zval, rz[:, 0])
-            out["dr"] = jnp.einsum("zk,vrk->vrz", zval, rz[:, 1])
-            out["drr"] = jnp.einsum("zk,vrk->vrz", zval, rz[:, 2])
-            out["dz"] = jnp.einsum("zk,vrk->vrz", self.synth_z[1], rz[:, 0])
-            out["dzz"] = jnp.einsum("zk,vrk->vrz", self.synth_z[2], rz[:, 0])
+            z3 = jnp.einsum("zk,vdrk->vdrz", self.synth_z[0], rz)
+            out["val"], out["dr"], out["drr"] = z3[:, 0], z3[:, 1], z3[:, 2]
+            zd = jnp.einsum("dzk,vrk->vdrz", self.synth_z[1:], rz[:, 0])
+            out["dz"], out["dzz"] = zd[:, 0], zd[:, 1]
             return out
-        rz = jnp.einsum("drb,vblk->vdrlk", self.synth_r, spec)
-        zval = self.synth_z[0]
-        out["val"] = jnp.einsum("zk,vrlk->vrlz", zval, rz[:, 0])
-        out["dr"] = jnp.einsum("zk,vrlk->vrlz", zval, rz[:, 1])
-        out["drr"] = jnp.einsum("zk,vrlk->vrlz", zval, rz[:, 2])
-        out["dz"] = jnp.einsum("zk,vrlk->vrlz", self.synth_z[1], rz[:, 0])
-        out["dzz"] = jnp.einsum("zk,vrlk->vrlz", self.synth_z[2], rz[:, 0])
-        out["dl"], out["dll"] = self._lambda_derivs(out["val"], 2)
+        rz = jnp.einsum("drb,vbkK->vdrkK", self.synth_r, spec)
+        zv = jnp.einsum("zK,vdrkK->vdrkz", self.synth_z[0], rz)
+        v3 = jnp.einsum("lk,vdrkz->vdrlz", self.l_synth, zv)
+        out["val"], out["dr"], out["drr"] = v3[:, 0], v3[:, 1], v3[:, 2]
+        zd = jnp.einsum("dzK,vrkK->vdrkz", self.synth_z[1:], rz[:, 0])
+        zd_l = jnp.einsum("lk,vdrkz->vdrlz", self.l_synth, zd)
+        out["dz"], out["dzz"] = zd_l[:, 0], zd_l[:, 1]
+        ld = jnp.einsum("dlk,vrkz->vdrlz", self.l_deriv2, zv[:, 0])
+        out["dl"], out["dll"] = ld[:, 0], ld[:, 1]
         return out
 
     # ------------------------------------------------------------------
@@ -296,8 +292,7 @@ def create_grid(params: GridParameters, dtype=jnp.float32) -> Grid:
         la, ls, ld, ld2 = fourier.dft_matrices(nl)
         grid.l_analysis = jnp.asarray(la, dtype)
         grid.l_synth = jnp.asarray(ls, dtype)
-        grid.l_dsynth = jnp.asarray(ld, dtype)
-        grid.l_d2synth = jnp.asarray(ld2, dtype)
+        grid.l_deriv2 = jnp.asarray(np.stack([ld, ld2]), dtype)
 
     # --- vertical -------------------------------------------------------
     if p.geometry in ("RZ", "RLZ"):
