@@ -75,31 +75,9 @@ def main(argv=None):
     )
     t0 = time.time()
     if args.devices > 1:
-        from scythe_tpu.model import make_scan
-        from scythe_tpu.parallel import sharding as sh
-        from scythe_tpu import io as sio
-        import numpy as np
+        from scythe_tpu.parallel.sharding import integrate_sharded
 
-        mesh = sh.make_mesh(args.devices)
-        grid, ctx, state = sh.initialize_sharded(model, mesh, dtype)
-        step = sh.build_sharded_step(model, grid, ctx, dtype, mesh)
-        num_ts = model.num_ts
-        output_int = max(1, min(model.output_int, num_ts))
-        scan = make_scan(step, output_int)
-        phys = np.asarray(grid.synthesis(state.spec)["val"])
-        sio.check_cfl(grid, phys)
-        sio.write_output(grid, model, 0.0, phys)
-        done = 0
-        while done < num_ts:
-            n = min(output_int, num_ts - done)
-            if n != output_int:
-                scan = make_scan(step, n)
-            state = scan(state)
-            done += n
-            phys = np.asarray(grid.synthesis(state.spec)["val"])
-            sio.check_cfl(grid, phys)
-            sio.write_output(grid, model, done * model.ts, phys)
-            print(f"ts: {done * model.ts}", flush=True)
+        integrate_sharded(model, args.devices, dtype)
     else:
         from scythe_tpu import integrate_model
 

@@ -141,6 +141,20 @@ def make_scan(step, n_steps: int):
     return jax.jit(chunk)
 
 
+def _pick_chunk(output_int: int, cap: int = 384) -> int:
+    """Largest divisor of the output interval <= cap.
+
+    XLA compile time grows with scan length (minutes through the TPU
+    tunnel for 1000+ step scans), so long output intervals are executed as
+    repeats of one bounded, compiled-once scan."""
+    if output_int <= cap:
+        return output_int
+    for c in range(cap, 0, -1):
+        if output_int % c == 0:
+            return c
+    return output_int
+
+
 def initialize(model: ModelParameters, dtype=None):
     """Build grid, context, initial state from the IC file (ref
     initialize_model, semiimplicit.jl:126-193)."""
@@ -197,7 +211,8 @@ def _run(model: ModelParameters, dtype, write_outputs, resume_from=None):
     step = build_step(model, grid, ctx, dtype)
     num_ts = model.num_ts
     output_int = max(1, min(model.output_int, num_ts))
-    scan = make_scan(step, output_int)
+    chunk = _pick_chunk(output_int)
+    scan = make_scan(step, chunk)
     log.info(
         "Initialized %s on %s grid: %d vars, %s points, %d steps",
         model.equation_set,
@@ -223,9 +238,11 @@ def _run(model: ModelParameters, dtype, write_outputs, resume_from=None):
     steps_done = 0
     while steps_done < num_ts:
         n = min(output_int, num_ts - steps_done)
-        if n != output_int:
-            scan = make_scan(step, n)
-        state = scan(state)
+        if n % chunk == 0:
+            for _ in range(n // chunk):
+                state = scan(state)
+        else:
+            state = make_scan(step, n)(state)
         steps_done += n
         t_sim = t_sim0 + steps_done * model.ts
         phys = fetch_phys(state)

@@ -139,6 +139,41 @@ def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh):
     return step
 
 
+def integrate_sharded(model, n_devices: int, dtype=None):
+    """Sharded analog of model.integrate_model: same output cadence and
+    watchdog, radial dimension split over ``n_devices``."""
+    import numpy as np
+
+    from .. import io as sio
+    from ..model import _pick_chunk, default_dtype, make_scan
+
+    dtype = dtype or default_dtype()
+    mesh = make_mesh(n_devices)
+    grid, ctx, state = initialize_sharded(model, mesh, dtype)
+    step = build_sharded_step(model, grid, ctx, dtype, mesh)
+    num_ts = model.num_ts
+    output_int = max(1, min(model.output_int, num_ts))
+    chunk = _pick_chunk(output_int)
+    scan = make_scan(step, chunk)
+    phys = np.asarray(grid.synthesis(state.spec)["val"])
+    sio.check_cfl(grid, phys)
+    sio.write_output(grid, model, 0.0, phys)
+    done = 0
+    while done < num_ts:
+        n = min(output_int, num_ts - done)
+        if n % chunk == 0:
+            for _ in range(n // chunk):
+                state = scan(state)
+        else:
+            state = make_scan(step, n)(state)
+        done += n
+        phys = np.asarray(grid.synthesis(state.spec)["val"])
+        sio.check_cfl(grid, phys)
+        sio.write_output(grid, model, done * model.ts, phys)
+        print(f"ts: {done * model.ts}", flush=True)
+    return grid, phys
+
+
 def initialize_sharded(model, mesh: Mesh, dtype=None):
     """Sharded analog of model.initialize: build grid/context/state and
     place the state according to the mesh."""
