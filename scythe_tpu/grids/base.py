@@ -8,16 +8,28 @@ transform call sites in src/semiimplicit.jl:301-332).  Design:
   columns / azimuthal rings are batch axes, replacing the reference's
   per-column thread loop (semiimplicit.jl:308-314) with batched matmuls.
 * Analysis / synthesis are precomputed dense operators applied as einsums:
-  cubic B-splines in r, real FFT with per-ring wavenumber masking in
-  lambda, Chebyshev (dense DCT matrices) in z.
+  cubic B-splines in r, real-DFT matrices with per-ring wavenumber masking
+  in lambda, Chebyshev (dense DCT matrices) in z.  The spectral state keeps
+  every non-radial axis in coefficient space.
 * ``synthesis`` returns every derivative slot of the reference physical
   layout (SURVEY.md 2.4): value, d/dr, d2/dr2 (+ d/dl, d2/dl2) (+ d/dz,
   d2/dz2), as a dict of ``[nvars, *spatial]`` arrays.
 * For radial sharding, analysis factors into a *local* quadrature projection
   (``project``) plus a small replicated solve (``solve_spectral``), so a
   sharded step only needs one psum of the [b_rDim, ...] projection array —
-  the TPU-native analog of the reference's halo overlap-add + shared
+  the TPU-native analog of the reference halo overlap-add + shared
   spectral array (semiimplicit.jl:272-285).
+
+Matmul numerics ("compensated" mode, the TPU default for float32 states):
+the TPU MXU multiplies in bfloat16, and at default precision a month of
+research debugging says spectral dynamics diverge (0.4%% operand rounding
+per transform).  XLA's high/highest multi-pass lowering is ~10x slower end
+to end here, so this layer implements bf16_3x *by construction*: every
+operator O is stored as the stack [O_hi, O_lo, O_hi] (O_hi = bf16(O),
+O_lo = bf16(O - O_hi)) and each activation x is stacked [x_hi, x_hi, x_lo];
+a single widened bf16 GEMM with f32 accumulation then computes
+O_hi x_hi + O_lo x_hi + O_hi x_lo — float32-grade accuracy (~1e-6
+relative, dropping only the O_lo x_lo term) at full MXU rate.
 """
 
 from __future__ import annotations
@@ -34,21 +46,33 @@ from ..config import GridParameters
 GEOMETRIES = ("R", "RL", "RZ", "RLZ")
 
 
+def _split3(op: np.ndarray) -> jnp.ndarray:
+    """[O_hi, O_lo, O_hi] bf16 stack for the compensated GEMM."""
+    o32 = np.asarray(op, np.float32)
+    hi = o32.astype(jnp.bfloat16)
+    lo = (o32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return jnp.asarray(np.stack([hi, lo, hi]))
+
+
 @dataclass
 class Grid:
-    """A built grid: static metadata + device operator arrays."""
+    """A built grid: static metadata + device operator arrays.
+
+    Operator arrays are either plain (``comp=False``, dtype matmuls) or
+    compensated bf16 stacks with a leading length-3 axis (``comp=True``).
+    All operator applications go through ``_mm``.
+    """
 
     params: GridParameters
     dtype: Any
+    comp: bool
     # radial operators
     r_mish: np.ndarray  # [rDim] (host, float64)
     analysis_r: jnp.ndarray  # [nvars, nb, rDim]
     project_r: jnp.ndarray  # [nb, rDim] (var-independent local quadrature)
     msolve_r: jnp.ndarray  # [nvars, nb, nb]
     synth_r: jnp.ndarray  # [3, rDim, nb]
-    # azimuthal (real-DFT matmul operators; see basis/fourier.py).  The
-    # spectral state keeps lambda in coefficient space, so synthesis needs
-    # no analysis round-trip for the angular derivatives.
+    # azimuthal (real-DFT; spectral state holds lambda coefficients)
     nl: int = 0
     ring_mask: jnp.ndarray | None = None  # [rDim, nl] over real coeff slots
     l_analysis: jnp.ndarray | None = None  # [nl, nl] values -> coeffs
@@ -57,12 +81,32 @@ class Grid:
     # vertical
     z_mish: np.ndarray | None = None  # [nz]
     analysis_z: jnp.ndarray | None = None  # [nvars, nz, nz] (constrain @ dct)
-    synth_z: jnp.ndarray | None = None  # [3, nz, nz]
+    z_val_s: jnp.ndarray | None = None  # [nz, nz] coeff -> value
+    z_der2: jnp.ndarray | None = None  # [2, nz, nz] coeff -> (dz, dzz)
     zcol_int: jnp.ndarray | None = None  # [nz, nz] R0 column antiderivative
     zcol_deriv: jnp.ndarray | None = None  # [nz, nz] R0 column d/dz
-    zcol_analysis: jnp.ndarray | None = None  # [nz, nz] R0 value->coeff (CB+CA)
-    z_synth_val: jnp.ndarray | None = None  # [nz, nz] coeff->value
-    z_synth_d1: jnp.ndarray | None = None  # [nz, nz] coeff->d/dz
+    zcol_filter: jnp.ndarray | None = None  # [nz, nz] CB+CA+CI round trip
+
+    # ------------------------------------------------------------------
+    def _mm(self, subs: str, op: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Apply a stored operator: plain einsum or compensated bf16 GEMM.
+
+        The optimization barrier around the hi-part is load-bearing: without
+        it XLA folds the f32->bf16->f32 round trip to the identity, which
+        turns the residual x_lo into zero and silently collapses the scheme
+        back to single-pass bf16."""
+        import jax as _jax
+
+        if not self.comp:
+            return jnp.einsum(subs, op, x)
+        xh = _jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+        xl = (x - xh.astype(x.dtype)).astype(jnp.bfloat16)
+        x3 = _jax.lax.optimization_barrier(jnp.stack([xh, xh, xl]))
+        a, rest = subs.split(",", 1)
+        b, out = rest.split("->")
+        return jnp.einsum(
+            f"p{a},p{b}->{out}", op, x3, preferred_element_type=self.dtype
+        )
 
     # ------------------------------------------------------------------
     @property
@@ -111,7 +155,6 @@ class Grid:
     # ------------------------------------------------------------------
     def coords(self) -> dict[str, jnp.ndarray]:
         """Coordinate arrays broadcastable against ``[*spatial]`` fields."""
-        p = self.params
         r = jnp.asarray(self.r_mish, self.dtype)
         out: dict[str, jnp.ndarray] = {}
         if self.geometry == "R":
@@ -131,7 +174,6 @@ class Grid:
     def gridpoints(self) -> np.ndarray:
         """Reference-style [npoints, ndims] coordinate matrix (row order =
         flattened field order; ref `getGridpoints`, semiimplicit.jl:59)."""
-        p = self.params
         if self.geometry == "R":
             return self.r_mish[:, None]
         if self.geometry == "RL":
@@ -146,36 +188,33 @@ class Grid:
         return np.stack([rr.ravel(), ll.ravel(), zz.ravel()], axis=1)
 
     # ------------------------------------------------------------------
-    # Azimuthal helper: real-DFT analysis + per-ring mask (MXU matmuls)
     def _l_coeffs(self, phys: jnp.ndarray) -> jnp.ndarray:
         """values -> masked real Fourier coefficients along the lambda axis
         (axis 2 of [nvars, rDim, nl, ...])."""
         if phys.ndim == 3:
-            hat = jnp.einsum("kl,vrl->vrk", self.l_analysis, phys)
+            hat = self._mm("kl,vrl->vrk", self.l_analysis, phys)
             return hat * self.ring_mask[None, :, :]
-        hat = jnp.einsum("kl,vrlz->vrkz", self.l_analysis, phys)
+        hat = self._mm("kl,vrlz->vrkz", self.l_analysis, phys)
         return hat * self.ring_mask[None, :, :, None]
 
-    # ------------------------------------------------------------------
     def analysis(self, phys: jnp.ndarray) -> jnp.ndarray:
         """physical [nvars, *spatial] -> spectral (ref spectralTransform!).
 
-        Spectral layout: [nvars, b_rDim] (R), [nvars, b_rDim, nl-coeff]
-        (RL), [nvars, b_rDim, nz-coeff] (RZ), [nvars, b_rDim, nl-coeff,
-        nz-coeff] (RLZ) — every non-radial axis in coefficient space."""
+        Spectral layout: [nvars, b_rDim] (R), + nl lambda coefficients (RL),
+        + nz Chebyshev coefficients (RZ/RLZ) — non-radial axes in
+        coefficient space."""
         g = self.geometry
         if g == "R":
-            return jnp.einsum("vbr,vr->vb", self.analysis_r, phys)
+            return self._mm("vbr,vr->vb", self.analysis_r, phys)
         if g == "RL":
-            hat = self._l_coeffs(phys)
-            return jnp.einsum("vbr,vrk->vbk", self.analysis_r, hat)
+            return self._mm("vbr,vrk->vbk", self.analysis_r, self._l_coeffs(phys))
         if g == "RZ":
-            zc = jnp.einsum("vkz,vrz->vrk", self.analysis_z, phys)
-            return jnp.einsum("vbr,vrk->vbk", self.analysis_r, zc)
-        zc = jnp.einsum("vKz,vrlz->vrlK", self.analysis_z, phys)
-        hat = jnp.einsum("kl,vrlK->vrkK", self.l_analysis, zc)
+            zc = self._mm("vkz,vrz->vrk", self.analysis_z, phys)
+            return self._mm("vbr,vrk->vbk", self.analysis_r, zc)
+        zc = self._mm("vKz,vrlz->vrlK", self.analysis_z, phys)
+        hat = self._mm("kl,vrlK->vrkK", self.l_analysis, zc)
         hat = hat * self.ring_mask[None, :, :, None]
-        return jnp.einsum("vbr,vrkK->vbkK", self.analysis_r, hat)
+        return self._mm("vbr,vrkK->vbkK", self.analysis_r, hat)
 
     def project(self, phys: jnp.ndarray) -> jnp.ndarray:
         """Local (decomposable) radial quadrature projection.  Summing
@@ -183,22 +222,21 @@ class Grid:
         equals ``analysis`` exactly — the sharded-transform contract."""
         g = self.geometry
         if g == "R":
-            return jnp.einsum("br,vr->vb", self.project_r, phys)
+            return self._mm("br,vr->vb", self.project_r, phys)
         if g == "RL":
-            hat = self._l_coeffs(phys)
-            return jnp.einsum("br,vrk->vbk", self.project_r, hat)
+            return self._mm("br,vrk->vbk", self.project_r, self._l_coeffs(phys))
         if g == "RZ":
-            zc = jnp.einsum("vkz,vrz->vrk", self.analysis_z, phys)
-            return jnp.einsum("br,vrk->vbk", self.project_r, zc)
-        zc = jnp.einsum("vKz,vrlz->vrlK", self.analysis_z, phys)
-        hat = jnp.einsum("kl,vrlK->vrkK", self.l_analysis, zc)
+            zc = self._mm("vkz,vrz->vrk", self.analysis_z, phys)
+            return self._mm("br,vrk->vbk", self.project_r, zc)
+        zc = self._mm("vKz,vrlz->vrlK", self.analysis_z, phys)
+        hat = self._mm("kl,vrlK->vrkK", self.l_analysis, zc)
         hat = hat * self.ring_mask[None, :, :, None]
-        return jnp.einsum("br,vrkK->vbkK", self.project_r, hat)
+        return self._mm("br,vrkK->vbkK", self.project_r, hat)
 
     def solve_spectral(self, proj: jnp.ndarray) -> jnp.ndarray:
         """Apply the (small, replicated) Gram/filter/BC solve to a summed
         projection array (ref splineTransform!, semiimplicit.jl:285)."""
-        return jnp.einsum("vbc,vc...->vb...", self.msolve_r, proj)
+        return self._mm("vbc,vc...->vb...", self.msolve_r, proj)
 
     def synthesis(self, spec: jnp.ndarray) -> dict[str, jnp.ndarray]:
         """spectral -> all physical derivative slots (ref gridTransform! /
@@ -207,31 +245,31 @@ class Grid:
         g = self.geometry
         out: dict[str, jnp.ndarray] = {}
         if g == "R":
-            r3 = jnp.einsum("drb,vb->vdr", self.synth_r, spec)
+            r3 = self._mm("drb,vb->vdr", self.synth_r, spec)
             out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
             return out
         if g == "RL":
-            r3 = jnp.einsum("drb,vbk->vdrk", self.synth_r, spec)
-            v3 = jnp.einsum("lk,vdrk->vdrl", self.l_synth, r3)
+            r3 = self._mm("drb,vbk->vdrk", self.synth_r, spec)
+            v3 = self._mm("lk,vdrk->vdrl", self.l_synth, r3)
             out["val"], out["dr"], out["drr"] = v3[:, 0], v3[:, 1], v3[:, 2]
-            d2 = jnp.einsum("dlk,vrk->vdrl", self.l_deriv2, r3[:, 0])
+            d2 = self._mm("dlk,vrk->vdrl", self.l_deriv2, r3[:, 0])
             out["dl"], out["dll"] = d2[:, 0], d2[:, 1]
             return out
         if g == "RZ":
-            rz = jnp.einsum("drb,vbk->vdrk", self.synth_r, spec)
-            z3 = jnp.einsum("zk,vdrk->vdrz", self.synth_z[0], rz)
+            rz = self._mm("drb,vbk->vdrk", self.synth_r, spec)
+            z3 = self._mm("zk,vdrk->vdrz", self.z_val_s, rz)
             out["val"], out["dr"], out["drr"] = z3[:, 0], z3[:, 1], z3[:, 2]
-            zd = jnp.einsum("dzk,vrk->vdrz", self.synth_z[1:], rz[:, 0])
+            zd = self._mm("dzk,vrk->vdrz", self.z_der2, rz[:, 0])
             out["dz"], out["dzz"] = zd[:, 0], zd[:, 1]
             return out
-        rz = jnp.einsum("drb,vbkK->vdrkK", self.synth_r, spec)
-        zv = jnp.einsum("zK,vdrkK->vdrkz", self.synth_z[0], rz)
-        v3 = jnp.einsum("lk,vdrkz->vdrlz", self.l_synth, zv)
+        rz = self._mm("drb,vbkK->vdrkK", self.synth_r, spec)
+        zv = self._mm("zK,vdrkK->vdrkz", self.z_val_s, rz)
+        v3 = self._mm("lk,vdrkz->vdrlz", self.l_synth, zv)
         out["val"], out["dr"], out["drr"] = v3[:, 0], v3[:, 1], v3[:, 2]
-        zd = jnp.einsum("dzK,vrkK->vdrkz", self.synth_z[1:], rz[:, 0])
-        zd_l = jnp.einsum("lk,vdrkz->vdrlz", self.l_synth, zd)
+        zd = self._mm("dzK,vrkK->vdrkz", self.z_der2, rz[:, 0])
+        zd_l = self._mm("lk,vdrkz->vdrlz", self.l_synth, zd)
         out["dz"], out["dzz"] = zd_l[:, 0], zd_l[:, 1]
-        ld = jnp.einsum("dlk,vrkz->vdrlz", self.l_deriv2, zv[:, 0])
+        ld = self._mm("dlk,vrkz->vdrlz", self.l_deriv2, zv[:, 0])
         out["dl"], out["dll"] = ld[:, 0], ld[:, 1]
         return out
 
@@ -241,24 +279,35 @@ class Grid:
     def column_integrate(self, f: jnp.ndarray) -> jnp.ndarray:
         """CIInt: antiderivative in z anchored to 0 at z=zmin
         (ref CIInttransform, shallowWaterModels.jl:422-429)."""
-        return jnp.einsum("zk,...k->...z", self.zcol_int, f)
+        return self._mm("zk,...k->...z", self.zcol_int, f)
 
     def column_derivative(self, f: jnp.ndarray) -> jnp.ndarray:
         """CIx of the R0-filtered column fit (ref CIxtransform usage,
         shallowWaterModels.jl:469-483)."""
-        return jnp.einsum("zk,...k->...z", self.zcol_deriv, f)
+        return self._mm("zk,...k->...z", self.zcol_deriv, f)
 
     def column_filter(self, f: jnp.ndarray) -> jnp.ndarray:
         """CB+CA+CI round trip (truncation filter) on columns."""
-        return jnp.einsum("zk,kw,...w->...z", self.z_synth_val, self.zcol_analysis, f)
+        return self._mm("zk,...k->...z", self.zcol_filter, f)
 
 
-def create_grid(params: GridParameters, dtype=jnp.float32) -> Grid:
+def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Grid:
     """Build a grid and all of its transform operators (ref createGrid,
-    spectralGrid.jl:63-94)."""
+    spectralGrid.jl:63-94).
+
+    ``matmul``: "plain" (matmuls in ``dtype``), "compensated" (bf16_3x by
+    construction, see module docstring), or "auto" (compensated on TPU
+    float32, plain elsewhere)."""
+    import jax as _jax
+
     p = params
     if p.geometry not in GEOMETRIES:
         raise ValueError(f"Unknown geometry {p.geometry!r}")
+    if matmul == "auto":
+        comp = _jax.default_backend() == "tpu" and dtype == jnp.float32
+    else:
+        comp = matmul == "compensated"
+    prep = _split3 if comp else (lambda op: jnp.asarray(np.asarray(op), dtype))
 
     # --- radial spline operators, per variable BC pair ------------------
     an, ms = [], []
@@ -274,11 +323,12 @@ def create_grid(params: GridParameters, dtype=jnp.float32) -> Grid:
     grid = Grid(
         params=p,
         dtype=dtype,
+        comp=comp,
         r_mish=r_mish,
-        analysis_r=jnp.asarray(np.stack(an), dtype),
-        project_r=jnp.asarray(proj, dtype),
-        msolve_r=jnp.asarray(np.stack(ms), dtype),
-        synth_r=jnp.asarray(synth, dtype),
+        analysis_r=prep(np.stack(an)),
+        project_r=prep(proj),
+        msolve_r=prep(np.stack(ms)),
+        synth_r=prep(synth),
     )
 
     # --- azimuthal ------------------------------------------------------
@@ -290,9 +340,9 @@ def create_grid(params: GridParameters, dtype=jnp.float32) -> Grid:
             fourier.ring_coeff_mask(r_mish, dr, nl, p.l_q), dtype
         )
         la, ls, ld, ld2 = fourier.dft_matrices(nl)
-        grid.l_analysis = jnp.asarray(la, dtype)
-        grid.l_synth = jnp.asarray(ls, dtype)
-        grid.l_deriv2 = jnp.asarray(np.stack([ld, ld2]), dtype)
+        grid.l_analysis = prep(la)
+        grid.l_synth = prep(ls)
+        grid.l_deriv2 = prep(np.stack([ld, ld2]))
 
     # --- vertical -------------------------------------------------------
     if p.geometry in ("RZ", "RLZ"):
@@ -304,12 +354,11 @@ def create_grid(params: GridParameters, dtype=jnp.float32) -> Grid:
             anz.append(zops.constrain @ zops.analysis)
         z0 = chebyshev.build_ops(p.zDim, p.zmin, p.zmax, p.b_zDim)
         grid.z_mish = z0.points
-        grid.analysis_z = jnp.asarray(np.stack(anz), dtype)
-        grid.synth_z = jnp.asarray(z0.value_deriv_stack, dtype)
+        grid.analysis_z = prep(np.stack(anz))
+        grid.z_val_s = prep(z0.synth)
+        grid.z_der2 = prep(np.stack([z0.dsynth, z0.d2synth]))
         r0a = z0.constrain @ z0.analysis
-        grid.zcol_analysis = jnp.asarray(r0a, dtype)
-        grid.zcol_int = jnp.asarray(z0.isynth @ r0a, dtype)
-        grid.zcol_deriv = jnp.asarray(z0.dsynth @ r0a, dtype)
-        grid.z_synth_val = jnp.asarray(z0.synth, dtype)
-        grid.z_synth_d1 = jnp.asarray(z0.dsynth, dtype)
+        grid.zcol_int = prep(z0.isynth @ r0a)
+        grid.zcol_deriv = prep(z0.dsynth @ r0a)
+        grid.zcol_filter = prep(z0.synth @ r0a)
     return grid

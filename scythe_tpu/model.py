@@ -65,6 +65,11 @@ def build_step(
     analysis_fn = analysis_fn or grid.analysis
     synthesis_fn = synthesis_fn or grid.synthesis
     eqset = get_equation_set(model.equation_set)
+    if getattr(eqset, "geometry", None) and eqset.geometry != grid.geometry:
+        raise ValueError(
+            f"equation_set {model.equation_set!r} requires a "
+            f"{eqset.geometry} grid, got {grid.geometry}"
+        )
     opts = ctx.options
     p = grid.params
     semiimplicit = bool(opts.get("semiimplicit"))

@@ -56,11 +56,15 @@ def _check_divisible(grid: Grid, n: int):
 
 def _local_grid(grid: Grid, idx, rows: int) -> Grid:
     """A shallow grid copy whose radial-row operators are this shard's
-    slice (synthesis rows, projection columns, ring masks, coords)."""
+    slice (synthesis rows, projection columns, ring masks, coords).
+    Compensated operator stacks carry a leading length-3 axis."""
     start = idx * rows
+    off = 1 if grid.comp else 0
     lg = copy.copy(grid)
-    lg.synth_r = jax.lax.dynamic_slice_in_dim(grid.synth_r, start, rows, axis=1)
-    lg.project_r = jax.lax.dynamic_slice_in_dim(grid.project_r, start, rows, axis=1)
+    lg.synth_r = jax.lax.dynamic_slice_in_dim(grid.synth_r, start, rows, axis=1 + off)
+    lg.project_r = jax.lax.dynamic_slice_in_dim(
+        grid.project_r, start, rows, axis=1 + off
+    )
     if grid.ring_mask is not None:
         lg.ring_mask = jax.lax.dynamic_slice_in_dim(grid.ring_mask, start, rows, axis=0)
     return lg

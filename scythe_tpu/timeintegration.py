@@ -115,14 +115,21 @@ class SemiImplicitOps(NamedTuple):
     dsynth: jnp.ndarray  # [nz, nz] coeff -> d/dz
     pxi_bar: jnp.ndarray  # scalar
     ts: float
+    use_pallas: bool = False  # fused VMEM-resident kernel (TPU only)
 
 
-def build_semiimplicit_ops(nz, zmin, zmax, bdim, pxi_bar, ts, dtype) -> SemiImplicitOps:
+def build_semiimplicit_ops(
+    nz, zmin, zmax, bdim, pxi_bar, ts, dtype, use_pallas: bool | None = None
+) -> SemiImplicitOps:
+    import jax as _jax
+
     length = zmax - zmin
     h1 = helmholtz_matrix(nz, length, pxi_bar, 0.5 * ts)
     h = helmholtz_matrix(nz, length, pxi_bar, 1.25 * ts)
     zops = chebyshev.build_ops(nz, zmin, zmax, bdim)
     r0a = zops.constrain @ zops.analysis
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() == "tpu" and dtype == jnp.float32
     return SemiImplicitOps(
         hinv_t1=jnp.asarray(np.linalg.inv(h1), dtype),
         hinv=jnp.asarray(np.linalg.inv(h), dtype),
@@ -132,6 +139,7 @@ def build_semiimplicit_ops(nz, zmin, zmax, bdim, pxi_bar, ts, dtype) -> SemiImpl
         dsynth=jnp.asarray(zops.dsynth, dtype),
         pxi_bar=jnp.asarray(pxi_bar, dtype),
         ts=ts,
+        use_pallas=bool(use_pallas),
     )
 
 
@@ -194,6 +202,26 @@ def semiimplicit_adjustment(
     w_star, xi_star, ts_term = jax.lax.switch(
         _ramp_index(t), [stage1, stage2, stage3], None
     )
+    hinv = jax.lax.cond(t == 1, lambda: ops.hinv_t1, lambda: ops.hinv)
+
+    if ops.use_pallas:
+        from .ops.pallas_semiimplicit import fused_column_solve
+
+        shape = xi_star.shape
+        w_new, xi_new = fused_column_solve(
+            xi_star.reshape(-1, shape[-1]),
+            w_star.reshape(-1, shape[-1]),
+            ops.col_filter,
+            # d/dz composed with the refit (einsum path applies col_deriv to
+            # the already-refit xi*, which equals this composition)
+            ops.col_deriv,
+            hinv,
+            ops.synth,
+            ops.dsynth,
+            ts_term,
+            ops.pxi_bar,
+        )
+        return w_new.reshape(shape), xi_new.reshape(shape)
 
     # Column refit of xi* and its vertical derivative (z on last axis)
     xi_star = jnp.einsum("zk,...k->...z", ops.col_filter, xi_star)
@@ -206,7 +234,6 @@ def semiimplicit_adjustment(
     zeros = jnp.zeros(g.shape[:-1] + (2,), g.dtype)
     g = jnp.concatenate([zeros, g[..., 1:-1]], axis=-1)
 
-    hinv = jax.lax.cond(t == 1, lambda: ops.hinv_t1, lambda: ops.hinv)
     a = jnp.einsum("zk,...k->...z", hinv, g)
     w_new = jnp.einsum("zk,...k->...z", ops.synth, a)
     xi_new = xi_star - ts_term * jnp.einsum("zk,...k->...z", ops.dsynth, a)
