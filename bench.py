@@ -155,6 +155,45 @@ def scaling_bench(n_steps=20):
     }
 
 
+def numerics_canary(device, dtype):
+    """Guard against matmul-precision regressions (e.g. XLA folding the
+    compensated-bf16 residual away, docs/NUMERICS.md): 10 chained
+    analysis+synthesis round trips on the accelerator must stay within
+    float32-grade distance of the CPU float64 result."""
+    import jax
+    import jax.numpy as jnp
+
+    from scythe_tpu import GridParameters, create_grid
+
+    gp = GridParameters(
+        geometry="RL", xmin=0.0, xmax=3.0e5, num_cells=32, lDim=64,
+        vars={"a": 1, "b": 2},
+    )
+    rng = np.random.default_rng(0)
+    f0 = rng.normal(size=(2, 96, 64)).astype(np.float32)
+
+    def chain(grid, f):
+        def body(c, _):
+            return grid.synthesis(grid.analysis(c))["val"], None
+        out, _ = jax.lax.scan(body, f, None, length=10)
+        return out
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        g64 = create_grid(gp, jnp.float64, matmul="plain")
+        truth = np.asarray(jax.jit(lambda f: chain(g64, f))(jnp.asarray(f0, jnp.float64)))
+    with jax.default_device(device):
+        g = create_grid(gp, dtype)
+        out = np.asarray(jax.jit(lambda f: chain(g, f))(jnp.asarray(f0, dtype)), np.float64)
+    err = np.abs(out - truth).max() / (np.abs(truth).max() + 1e-30)
+    ok = err < 1e-3
+    print(f"numerics canary: rel err {err:.2e} -> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+    if not ok:
+        raise FloatingPointError(
+            f"accelerator transform precision regression: rel err {err:.2e}"
+        )
+
+
 def main():
     import jax
 
@@ -166,6 +205,7 @@ def main():
 
     import jax.numpy as jnp
 
+    numerics_canary(accel, jnp.float32 if on_accel else jnp.float64)
     accel_stats = measure(accel, jnp.float32 if on_accel else jnp.float64, 100)
     print(
         f"accel[{accel.device_kind if on_accel else 'cpu'}]: {accel_stats}",
