@@ -57,10 +57,10 @@ def test_rz_translation(tmp_path):
         vars={"h": 1, "u": 2, "v": 3, "w": 4},
     )
     # NOTE: uniform w through the z boundaries is an inflow without boundary
-    # data — ill-posed for any spectral method (the reference shares this),
-    # and ringing grows at the inflow boundary.  Mild diffusion keeps it
-    # bounded; correctness is asserted on the advected peak.
-    u0, w0, T, K = 2.0, 1.0, 100.0, 30.0
+    # data — ill-posed for any spectral method over long times (the
+    # reference shares this), so the run is kept short enough that the
+    # inflow-boundary ringing stays negligible.
+    u0, w0, T = 2.0, 1.0, 30.0
     model = ModelParameters(
         ts=0.5,
         integration_time=T,
@@ -69,7 +69,7 @@ def test_rz_translation(tmp_path):
         initial_conditions=str(tmp_path / "ics.csv"),
         output_dir=str(tmp_path / "out"),
         grid_params=gp,
-        physical_params={"K": K},
+        physical_params={"K": 0.0},
     )
     grid = create_grid(gp, jnp.float64)
     pts = grid.gridpoints()
@@ -81,12 +81,8 @@ def test_rz_translation(tmp_path):
     with open(model.initial_conditions, "w") as f:
         f.write("r,z,h,u,v,w\n")
         for i in range(len(r)):
-            f.write(f"{r[i]},{z[i]},{blob(300.0, 300.0)[i]},{u0},0.0,{w0}\n")
+            f.write(f"{r[i]},{z[i]},{blob(400.0, 400.0)[i]},{u0},0.0,{w0}\n")
     grid, phys = integrate_model(model, write_outputs=False)
-    H = phys[0]
-    i, j = np.unravel_index(np.argmax(H), H.shape)
-    r_peak, z_peak = grid.r_mish[i], grid.z_mish[j]
-    assert abs(r_peak - (300.0 + u0 * T)) < 30.0, r_peak
-    assert abs(z_peak - (300.0 + w0 * T)) < 30.0, z_peak
-    assert H.max() > 0.5
-    assert np.abs(H).max() < 2.0  # boundary ringing stays bounded
+    h_expect = blob(400.0 + u0 * T, 400.0 + w0 * T)
+    err = np.sqrt(np.mean((phys[0].reshape(-1) - h_expect) ** 2)) / h_expect.max()
+    assert err < 0.08, err
