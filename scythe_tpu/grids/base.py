@@ -76,18 +76,16 @@ class Grid:
     nl: int = 0
     ring_mask: jnp.ndarray | None = None  # [rDim, nl] over real coeff slots
     l_analysis: jnp.ndarray | None = None  # [nl, nl] values -> coeffs
-    l_ops5: jnp.ndarray | None = None  # [5, nl, nl]: S,S,S,D1S,D2S batched
-    l_ops7: jnp.ndarray | None = None  # [7, nl, nl]: S x5, D1S, D2S (RLZ)
+    l_synth: jnp.ndarray | None = None  # [nl, nl] coeffs -> values
+    l_deriv2: jnp.ndarray | None = None  # [2, nl, nl] coeffs -> (dl, dll)
     # vertical
     z_mish: np.ndarray | None = None  # [nz]
     analysis_z: jnp.ndarray | None = None  # [nvars, nz, nz] (constrain @ dct)
-    z_ops5: jnp.ndarray | None = None  # [5, nz, nz]: S,S,S,D1,D2 batched
+    z_val_s: jnp.ndarray | None = None  # [nz, nz] coeff -> value
+    z_der2: jnp.ndarray | None = None  # [2, nz, nz] coeff -> (dz, dzz)
     zcol_int: jnp.ndarray | None = None  # [nz, nz] R0 column antiderivative
     zcol_deriv: jnp.ndarray | None = None  # [nz, nz] R0 column d/dz
     zcol_filter: jnp.ndarray | None = None  # [nz, nz] CB+CA+CI round trip
-
-    _sel5 = np.array([0, 1, 2, 0, 0])
-    _sel7 = np.array([0, 1, 2, 3, 4, 0, 0])
 
     # ------------------------------------------------------------------
     def _mm(self, subs: str, op: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -242,12 +240,8 @@ class Grid:
 
     def synthesis(self, spec: jnp.ndarray) -> dict[str, jnp.ndarray]:
         """spectral -> all physical derivative slots (ref gridTransform! /
-        tileTransform!; slot layout SURVEY.md 2.4).
-
-        Each direction is ONE batched GEMM: the value and derivative
-        operators are pre-stacked along a batch axis (`l_ops5`/`z_ops5`/
-        `l_ops7`) and the input slots gathered to match, so e.g. the whole
-        RL synthesis is two operator applications."""
+        tileTransform!; slot layout SURVEY.md 2.4).  Each stage is a single
+        stacked GEMM over all variables and slots."""
         g = self.geometry
         out: dict[str, jnp.ndarray] = {}
         if g == "R":
@@ -256,25 +250,27 @@ class Grid:
             return out
         if g == "RL":
             r3 = self._mm("drb,vbk->vdrk", self.synth_r, spec)
-            r5 = r3[:, self._sel5]  # [v,5,r,k]: slots 0,1,2,0,0
-            v5 = self._mm("dlk,vdrk->vdrl", self.l_ops5, r5)
-            for i, key in enumerate(("val", "dr", "drr", "dl", "dll")):
-                out[key] = v5[:, i]
+            v3 = self._mm("lk,vdrk->vdrl", self.l_synth, r3)
+            out["val"], out["dr"], out["drr"] = v3[:, 0], v3[:, 1], v3[:, 2]
+            d2 = self._mm("dlk,vrk->vdrl", self.l_deriv2, r3[:, 0])
+            out["dl"], out["dll"] = d2[:, 0], d2[:, 1]
             return out
         if g == "RZ":
             rz = self._mm("drb,vbk->vdrk", self.synth_r, spec)
-            r5 = rz[:, self._sel5]
-            z5 = self._mm("dzk,vdrk->vdrz", self.z_ops5, r5)
-            for i, key in enumerate(("val", "dr", "drr", "dz", "dzz")):
-                out[key] = z5[:, i]
+            z3 = self._mm("zk,vdrk->vdrz", self.z_val_s, rz)
+            out["val"], out["dr"], out["drr"] = z3[:, 0], z3[:, 1], z3[:, 2]
+            zd = self._mm("dzk,vrk->vdrz", self.z_der2, rz[:, 0])
+            out["dz"], out["dzz"] = zd[:, 0], zd[:, 1]
             return out
         rz = self._mm("drb,vbkK->vdrkK", self.synth_r, spec)
-        r5 = rz[:, self._sel5]
-        z5 = self._mm("dzK,vdrkK->vdrkz", self.z_ops5, r5)  # val,dr,drr,dz,dzz
-        z7 = z5[:, self._sel7]  # slots 0,1,2,3,4,0,0
-        v7 = self._mm("dlk,vdrkz->vdrlz", self.l_ops7, z7)
-        for i, key in enumerate(("val", "dr", "drr", "dz", "dzz", "dl", "dll")):
-            out[key] = v7[:, i]
+        zv = self._mm("zK,vdrkK->vdrkz", self.z_val_s, rz)
+        v3 = self._mm("lk,vdrkz->vdrlz", self.l_synth, zv)
+        out["val"], out["dr"], out["drr"] = v3[:, 0], v3[:, 1], v3[:, 2]
+        zd = self._mm("dzK,vrkK->vdrkz", self.z_der2, rz[:, 0])
+        zd_l = self._mm("lk,vdrkz->vdrlz", self.l_synth, zd)
+        out["dz"], out["dzz"] = zd_l[:, 0], zd_l[:, 1]
+        ld = self._mm("dlk,vrkz->vdrlz", self.l_deriv2, zv[:, 0])
+        out["dl"], out["dll"] = ld[:, 0], ld[:, 1]
         return out
 
     # ------------------------------------------------------------------
@@ -345,8 +341,8 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         )
         la, ls, ld, ld2 = fourier.dft_matrices(nl)
         grid.l_analysis = prep(la)
-        grid.l_ops5 = prep(np.stack([ls, ls, ls, ld, ld2]))
-        grid.l_ops7 = prep(np.stack([ls, ls, ls, ls, ls, ld, ld2]))
+        grid.l_synth = prep(ls)
+        grid.l_deriv2 = prep(np.stack([ld, ld2]))
 
     # --- vertical -------------------------------------------------------
     if p.geometry in ("RZ", "RLZ"):
@@ -359,9 +355,8 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         z0 = chebyshev.build_ops(p.zDim, p.zmin, p.zmax, p.b_zDim)
         grid.z_mish = z0.points
         grid.analysis_z = prep(np.stack(anz))
-        grid.z_ops5 = prep(
-            np.stack([z0.synth, z0.synth, z0.synth, z0.dsynth, z0.d2synth])
-        )
+        grid.z_val_s = prep(z0.synth)
+        grid.z_der2 = prep(np.stack([z0.dsynth, z0.d2synth]))
         r0a = z0.constrain @ z0.analysis
         grid.zcol_int = prep(z0.isynth @ r0a)
         grid.zcol_deriv = prep(z0.dsynth @ r0a)
