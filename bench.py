@@ -66,13 +66,9 @@ def measure(device, dtype, n_steps, reps=3):
 
 
 def _enable_compile_cache():
-    """First XLA compile through the TPU tunnel can take minutes; the
-    persistent cache makes reruns near-instant."""
-    import jax
+    from scythe_tpu.utils.runtime import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    enable_compile_cache()
 
 
 def rlz_transform_bench(device, dtype, reps=20):

@@ -53,6 +53,9 @@ def main(argv=None):
         os.environ["JAX_PLATFORMS"] = args.platform
     import jax
 
+    from scythe_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.dtype == "f64":
