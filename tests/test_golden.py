@@ -1,0 +1,61 @@
+"""Golden-trajectory regression: 50 steps of the flagship two-layer model
+must reproduce stored float64 field statistics exactly (to roundoff).
+
+Guards numerics refactors (operator construction, transform layout,
+stepper) against silent behavior changes.  Regenerate the golden file only
+for an INTENDED numerics change:
+    python -c "exec(open('tests/test_golden.py').read()); regen()"
+"""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "twoway_slab_50steps_f64.json")
+
+
+def _run():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _flagship_model, _vortex_state
+    from scythe_tpu.grids.base import create_grid
+    from scythe_tpu.model import build_context, build_step, make_scan
+
+    model = _flagship_model(num_cells=32, nl=32)
+    grid = create_grid(model.grid_params, jnp.float64, matmul="plain")
+    ctx = build_context(model, grid, jnp.float64)
+    step = build_step(model, grid, ctx, jnp.float64)
+    state = _vortex_state(grid, jnp.float64)
+    out = make_scan(step, 50)(state)
+    phys = np.asarray(grid.synthesis(out.spec)["val"])
+    return model, phys
+
+
+def regen():
+    model, phys = _run()
+    summary = {
+        n: dict(
+            mean=float(phys[v].mean()),
+            std=float(phys[v].std()),
+            min=float(phys[v].min()),
+            max=float(phys[v].max()),
+        )
+        for v, n in enumerate(model.grid_params.vars)
+    }
+    json.dump(summary, open(GOLDEN, "w"), indent=1)
+    print(f"regenerated {GOLDEN}")
+
+
+def test_flagship_golden_trajectory():
+    model, phys = _run()
+    golden = json.load(open(GOLDEN))
+    for v, n in enumerate(model.grid_params.vars):
+        g = golden[n]
+        scale = max(abs(g["max"]), abs(g["min"]), 1e-12)
+        assert abs(float(phys[v].mean()) - g["mean"]) < 1e-9 * scale, n
+        assert abs(float(phys[v].std()) - g["std"]) < 1e-9 * scale, n
+        assert abs(float(phys[v].min()) - g["min"]) < 1e-9 * scale, n
+        assert abs(float(phys[v].max()) - g["max"]) < 1e-9 * scale, n
