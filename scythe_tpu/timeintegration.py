@@ -129,7 +129,10 @@ def build_semiimplicit_ops(
     zops = chebyshev.build_ops(nz, zmin, zmax, bdim)
     r0a = zops.constrain @ zops.analysis
     if use_pallas is None:
-        use_pallas = _jax.default_backend() == "tpu" and dtype == jnp.float32
+        # opt-in until validated end-to-end on real TPU hardware (the
+        # tunnel's availability windows have not yet allowed a compiled
+        # Mosaic run of this kernel); the einsum path is the default.
+        use_pallas = False
     return SemiImplicitOps(
         hinv_t1=jnp.asarray(np.linalg.inv(h1), dtype),
         hinv=jnp.asarray(np.linalg.inv(h), dtype),
