@@ -10,7 +10,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import Any, Mapping
 
-import numpy as np
 
 from .basis.bspline import BC, MUBAR
 from .basis.chebyshev import ZBC, b_zdim

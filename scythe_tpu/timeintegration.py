@@ -121,8 +121,6 @@ class SemiImplicitOps(NamedTuple):
 def build_semiimplicit_ops(
     nz, zmin, zmax, bdim, pxi_bar, ts, dtype, use_pallas: bool | None = None
 ) -> SemiImplicitOps:
-    import jax as _jax
-
     length = zmax - zmin
     h1 = helmholtz_matrix(nz, length, pxi_bar, 0.5 * ts)
     h = helmholtz_matrix(nz, length, pxi_bar, 1.25 * ts)

@@ -60,8 +60,6 @@ def test_compensated_beats_single_pass_bf16():
     s64 = np.asarray(g64.analysis(f))
     scomp = np.asarray(gcomp.analysis(f.astype(jnp.float32)), np.float64)
     # raw bf16 operator pass for comparison
-    import scythe_tpu.grids.base as gb
-
     g16 = create_grid(gp, jnp.float32, matmul="plain")
     g16.analysis_r = g16.analysis_r.astype(jnp.bfloat16).astype(jnp.float32)
     g16.l_analysis = g16.l_analysis.astype(jnp.bfloat16).astype(jnp.float32)

@@ -5,8 +5,6 @@ import jax.numpy as jnp
 import pytest
 
 from scythe_tpu import BC, GridParameters, ModelParameters, create_grid
-from scythe_tpu.model import build_context, build_step, initialize, make_scan
-from scythe_tpu.physics import thermodynamics as td
 
 
 def _write_sounding(path, zmax=10000.0):

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 from scythe_tpu import BC, GridParameters, ModelParameters, create_grid
-from scythe_tpu.model import build_context, build_step, initialize, make_scan
+from scythe_tpu.model import build_step, initialize, make_scan
 from scythe_tpu.parallel import sharding as sh
 
 
