@@ -224,10 +224,14 @@ def semiimplicit_adjustment(
         )
         return w_new.reshape(shape), xi_new.reshape(shape)
 
-    # Column refit of xi* and its vertical derivative (z on last axis)
-    xi_star = jnp.einsum("zk,...k->...z", ops.col_filter, xi_star)
+    # Column refit of xi* and its vertical derivative (z on last axis).
+    # Explicit HIGHEST precision: TPU default matmul precision is bf16 and
+    # corrupts the acoustic solve (docs/NUMERICS.md); these are small
+    # [nz, nz] GEMMs so the multi-pass cost is negligible.
+    PREC = jax.lax.Precision.HIGHEST
+    xi_star = jnp.einsum("zk,...k->...z", ops.col_filter, xi_star, precision=PREC)
     xi_star_z = ts_term * ops.pxi_bar * jnp.einsum(
-        "zk,...k->...z", ops.col_deriv, xi_star
+        "zk,...k->...z", ops.col_deriv, xi_star, precision=PREC
     )
     g = xi_star_z - w_star
     # BC rows: zero the first two entries, drop interior rows 0 and nz-1
@@ -235,7 +239,9 @@ def semiimplicit_adjustment(
     zeros = jnp.zeros(g.shape[:-1] + (2,), g.dtype)
     g = jnp.concatenate([zeros, g[..., 1:-1]], axis=-1)
 
-    a = jnp.einsum("zk,...k->...z", hinv, g)
-    w_new = jnp.einsum("zk,...k->...z", ops.synth, a)
-    xi_new = xi_star - ts_term * jnp.einsum("zk,...k->...z", ops.dsynth, a)
+    a = jnp.einsum("zk,...k->...z", hinv, g, precision=PREC)
+    w_new = jnp.einsum("zk,...k->...z", ops.synth, a, precision=PREC)
+    xi_new = xi_star - ts_term * jnp.einsum(
+        "zk,...k->...z", ops.dsynth, a, precision=PREC
+    )
     return w_new, xi_new
