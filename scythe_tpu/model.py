@@ -270,3 +270,33 @@ def _run(model: ModelParameters, dtype, write_outputs, resume_from=None):
         gps,
     )
     return grid, phys
+
+
+def integrate_ensemble(model: ModelParameters, ics: np.ndarray, dtype=None):
+    """Run a vmapped ensemble of initial conditions through the model.
+
+    ``ics``: [n_members, nvars, *spatial] physical initial conditions.
+    Returns final physical fields [n_members, nvars, *spatial].  Ensemble
+    members batch through every transform GEMM (larger, better-utilized
+    MXU work) — a JAX-native capability with no reference counterpart.
+    """
+    dtype = dtype or default_dtype()
+    grid = create_grid(model.grid_params, dtype)
+    ctx = build_context(model, grid, dtype)
+    step = build_step(model, grid, ctx, dtype)
+    num_ts = model.num_ts
+
+    def member(phys0):
+        spec = grid.analysis(phys0)
+        state = ti.initial_state(spec, phys0.shape, dtype)
+
+        def body(s, _):
+            return step(s), None
+
+        out, _ = jax.lax.scan(body, state, None, length=num_ts)
+        return grid.synthesis(out.spec)["val"]
+
+    run = jax.jit(jax.vmap(member))
+    out = np.asarray(run(jnp.asarray(ics, dtype)))
+    sio.check_cfl(grid, out.reshape((-1,) + grid.spatial_shape))
+    return grid, out
