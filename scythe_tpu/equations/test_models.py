@@ -329,3 +329,120 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
         expdot=stack_tendencies(nvars, sh, dt, exp),
         impdot=stack_tendencies(nvars, sh, dt, imp),
     )
+
+
+@equation_set(geometry="RLZ")
+def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
+    """Full 3-D cylindrical moist compressible Euler core with warm rain
+    (BASELINE.json config 5).
+
+    The reference has no 3-D moist equation set (its moist benchmarks are
+    the 2-D slab RZ Euler_test family, testModels.jl:100-585, whose "r"
+    coordinate is Cartesian); this set extends the same perturbation
+    thermodynamics (s, xi, mu vs a hydrostatic reference state) and Ooyama
+    warm-rain microphysics to the full cylinder with azimuthal advection,
+    Coriolis/curvature terms, and the cylindrical divergence.
+
+    Vars: s xi mu u v w mu_c mu_r qss  (u radial, v tangential, w vertical).
+    """
+    K = ctx.p("K")
+    f_cor = ctx.p("f", 0.0)
+    rs = ctx.ref_state
+    r = ctx.coords["r"]
+    val, dr, drr, dl, dz, dzz = (
+        fields["val"],
+        fields["dr"],
+        fields["drr"],
+        fields["dl"],
+        fields["dz"],
+        fields["dzz"],
+    )
+    dll = fields["dll"]
+    s, xi, mu = val[0], val[1], val[2]
+    u, v, w = val[3], val[4], val[5]
+    mu_c, mu_r, qss = val[6], val[7], val[8]
+
+    sbar_z = rs.sbar[None, None, :, 1]
+    xibar_z = rs.xibar[None, None, :, 1]
+    mubar_z = rs.mubar[None, None, :, 1]
+    q_v, rho_d, Tk, p = td.thermodynamic_tuple(
+        s + rs.sbar[None, None, :, 0],
+        xi + rs.xibar[None, None, :, 0],
+        mu + rs.mubar[None, None, :, 0],
+    )
+    mu_total = mu + rs.mubar[None, None, :, 0]
+    q_c = td.ahyp(mu_c)
+    q_r = td.ahyp(mu_r)
+    q_l = q_c + q_r
+    rho_t = rho_d * (1.0 + q_v + q_l)
+    mu_fac = td.dmudq(mu_total, q_v)
+    rhobar = td.dry_density(rs.xibar[None, None, :, 0]) * (
+        1.0 + td.ahyp(rs.mubar[None, None, :, 0])
+    )
+    rho_p = rho_t - rhobar
+
+    def adv(i, with_bar_z=None):
+        out = -u * dr[i] - (v / r) * dl[i] - w * dz[i]
+        if with_bar_z is not None:
+            out = out - w * with_bar_z
+        return out
+
+    def lap(i):
+        return K * (drr[i] + dr[i] / r + dll[i] / (r * r) + dzz[i])
+
+    # pressure gradients (perturbation form, all three directions)
+    qvp_r = dr[2] / mu_fac
+    qvp_l = dl[2] / mu_fac
+    qvp_z = dz[2] / mu_fac
+    dpdr = td.pressure_gradient(Tk, rho_d, q_v, dr[0], dr[1], qvp_r)
+    dpdl = td.pressure_gradient(Tk, rho_d, q_v, dl[0], dl[1], qvp_l)
+    dpdz = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+
+    # microphysics (rainfall_test rates, testModels.jl:387-585)
+    N_c, r_c = 100.0, 10.0
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
+    cloudtau = mp.invtau_condensation(Tk, p, N_c, r_c)
+    raintau = mp.rain_evaporation(q_r, rho_d, Tk, p)
+    q_evap = -qss * raintau
+    q_auto = mp.autoconversion(q_c, rho_d)
+    q_coll = mp.collection(q_c, q_r, rho_d, Tk)
+    Vt = mp.sedimentation(q_r, rho_d, Tk)
+    Vt_flux = ctx.grid.column_derivative(q_r * Vt) / rho_d
+    Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
+    div3 = u / r + dr[3] + dl[4] / r + dz[5]
+    s_div = Cm * (td.Rd + q_v * td.Rv) * div3
+    qss_cond = (
+        mp.dqsdp(Tk, p, rho_d, q_v, q_l)
+        * (u * dpdr + (v / r) * dpdl + w * (dpdz - rhobar * td.GRAVITY))
+        - qss * (cloudtau + raintau)
+    )
+
+    nvars = ctx.grid.nvars
+    sh, dt = u.shape, u.dtype
+    exp, imp = {}, {}
+    exp[0] = adv(0, sbar_z) + s_cond + s_div + lap(0)
+    exp[1] = adv(1, xibar_z) - div3
+    imp[1] = -dz[5]
+    exp[2] = adv(2, mubar_z) + mu_fac * (q_evap - q_cond) + lap(2)
+    imp[2] = q_v
+    exp[3] = (
+        adv(3) + (f_cor + v / r) * v - dpdr / rho_t + lap(3) - K * u / (r * r)
+    )
+    exp[4] = (
+        adv(4) - (f_cor + v / r) * u - dpdl / (r * rho_t) + lap(4) - K * v / (r * r)
+    )
+    exp[5] = (
+        adv(5) + ((-td.GRAVITY * rho_p) - dpdz) / rho_t + lap(5)
+    )
+    imp[5] = -(rs.Pxi_bar * dz[1])
+    exp[6] = adv(6) + td.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll) + lap(6)
+    exp[7] = adv(7) + td.dmudq_source(mu_r, q_r) * (
+        q_auto + q_coll - q_evap - Vt_flux
+    ) + lap(7)
+    exp[8] = adv(8) + qss_cond
+    imp[8] = qss
+    return EqResult(
+        expdot=stack_tendencies(nvars, sh, dt, exp),
+        impdot=stack_tendencies(nvars, sh, dt, imp),
+    )

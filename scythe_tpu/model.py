@@ -72,7 +72,11 @@ def build_step(
     opts = ctx.options
     p = grid.params
     semiimplicit = bool(opts.get("semiimplicit"))
-    needs_condensation = model.equation_set in ("BF02_test", "rainfall_test")
+    needs_condensation = model.equation_set in (
+        "BF02_test",
+        "rainfall_test",
+        "MoistEulerRLZ",
+    )
     si_ops = None
     if semiimplicit:
         if ctx.ref_state is None:

@@ -166,3 +166,73 @@ def test_slab_tcbl_spindown(tmp_path):
 def test_z_geometry_not_implemented():
     with pytest.raises(ValueError):
         create_grid(GridParameters(geometry="Z", vars={"u": 1}))
+
+
+def test_moist_euler_rlz(tmp_path):
+    """Full 3-D cylindrical moist core (BASELINE config 5): balanced state
+    stays balanced; an off-axis warm bubble rises, stays finite."""
+    import pytest  # noqa: F401
+
+    nz = 24
+    gp = GridParameters(
+        geometry="RLZ",
+        xmin=0.0,
+        xmax=10000.0,
+        num_cells=8,
+        lDim=16,
+        zmin=0.0,
+        zmax=10000.0,
+        zDim=nz,
+        BCL={"u": BC.R1T0, "v": BC.R1T0, "w": BC.R1T1},
+        BCR={"u": BC.R1T0, "v": BC.R0},
+        vars={
+            "s": 1, "xi": 2, "mu": 3, "u": 4, "v": 5, "w": 6,
+            "mu_c": 7, "mu_r": 8, "qss": 9,
+        },
+    )
+    zs = np.linspace(0.0, 12000.0, 40)
+    theta = 300.0 + 0.004 * zs
+    qv = 14.0 * np.exp(-zs / 2500.0)
+    sounding = tmp_path / "sounding.txt"
+    with open(sounding, "w") as f:
+        f.write(f"1015.0 {theta[0]} {qv[0]}\n")
+        for z, th, q in zip(zs[1:], theta[1:], qv[1:]):
+            f.write(f"{z} {th} {q}\n")
+    model = ModelParameters(
+        ts=0.25,
+        integration_time=30.0,
+        output_interval=30.0,
+        equation_set="MoistEulerRLZ",
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        ref_state_file=str(sounding),
+        grid_params=gp,
+        physical_params={"K": 10.0, "f": 5.0e-5},
+        options={"semiimplicit": True},
+    )
+    grid = create_grid(gp, jnp.float64)
+    pts = grid.gridpoints()
+    r, lam, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    # off-axis warm bubble at (r=4km, lam=0, z=2km)
+    x = r * np.cos(lam)
+    y = r * np.sin(lam)
+    rad = np.sqrt(((x - 4000.0) / 1500.0) ** 2 + (y / 1500.0) ** 2 + ((z - 2000.0) / 1500.0) ** 2)
+    s_pert = 3.0 * np.maximum(0.0, np.cos(np.pi * np.minimum(rad, 1.0) / 2.0)) ** 2
+    names = list(gp.vars)
+    with open(model.initial_conditions, "w") as f:
+        f.write("r,l,z," + ",".join(names) + "\n")
+        for i in range(len(r)):
+            vals = {"s": s_pert[i]}
+            f.write(
+                f"{r[i]},{lam[i]},{z[i]},"
+                + ",".join(str(vals.get(n, 0.0)) for n in names) + "\n"
+            )
+    grid, phys = integrate_model(model, write_outputs=False)
+    assert np.isfinite(phys).all()
+    w = phys[5]
+    assert w.max() > 0.01, w.max()  # bubble rises
+    assert np.abs(w).max() < 30.0
+    # balanced background far from the bubble stays quiet: opposite side
+    W = w.reshape(grid.spatial_shape)
+    far = W[:, grid.nl // 2, :]  # lam = pi side
+    assert np.abs(far).max() < 0.5 * w.max() + 0.05
