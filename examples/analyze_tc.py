@@ -1,0 +1,85 @@
+"""Analyze a two-layer TC run directory: intensity timeseries and azimuthal
+wavenumber decomposition of the vorticity field.
+
+Usage:  python examples/analyze_tc.py <run_dir> [--model models/cha_bell2024/twoway.py]
+
+Prints a per-output-time table (Vmax free layer / BL, minimum h, RMW) and
+the final-state azimuthal vorticity power spectrum — the quantities the
+Cha & Bell (2024) analysis is built on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--model", default=None, help="model config file (for the grid)")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    import scythe_tpu.io as sio
+    from scythe_tpu import create_grid, diagnostics as dg
+
+    if args.model:
+        import runpy
+
+        model = runpy.run_path(args.model)["model"]
+        gp = model.grid_params
+    else:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "models", "cha_bell2024"))
+        from common import GRID as gp  # type: ignore
+
+    grid = create_grid(gp, jnp.float64)
+    files = sorted(
+        glob.glob(os.path.join(args.run_dir, "physical_out_*.csv")),
+        key=lambda p: float(re.search(r"physical_out_(.*)\.csv", p).group(1)),
+    )
+    if not files:
+        sys.exit(f"no physical_out_*.csv in {args.run_dir}")
+
+    vi = gp.var_index
+    r1d = grid.r_mish
+    print(f"{'t[s]':>10} {'Vmax(free)':>11} {'Vmax(BL)':>9} {'h_min':>8} {'RMW[km]':>8}")
+    for path in files:
+        t = float(re.search(r"physical_out_(.*)\.csv", path).group(1))
+        phys = sio.read_physical_grid(path, grid)
+        v = phys[vi("v")]
+        vb = phys[vi("vb")]
+        h = phys[vi("h")]
+        vbar = v.mean(axis=1)  # azimuthal mean
+        rmw = r1d[int(np.argmax(vbar))] / 1000.0
+        print(f"{t:>10.0f} {v.max():>11.2f} {vb.max():>9.2f} {h.min():>8.1f} {rmw:>8.1f}")
+
+    phys = sio.read_physical_grid(files[-1], grid)
+    fields = grid.synthesis(grid.analysis(jnp.asarray(phys)))
+    zeta = np.asarray(
+        dg.relative_vorticity(fields, grid.coords()["r"], vi("u"), vi("v"))
+    )
+    power = np.abs(np.fft.rfft(zeta, axis=1)).mean(axis=0)
+    rel = power[:6] / (power[0] + 1e-30)
+    print("\nfinal azimuthal vorticity power (rel to k=0):")
+    for k, p in enumerate(rel):
+        print(f"  k={k}: {p:.4f}")
+
+
+if __name__ == "__main__":
+    main()
