@@ -101,7 +101,7 @@ class Grid:
             return jnp.einsum(subs, op, x)
         xh = _jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
         xl = (x - xh.astype(x.dtype)).astype(jnp.bfloat16)
-        x3 = _jax.lax.optimization_barrier(jnp.stack([xh, xh, xl]))
+        x3 = jnp.stack([xh, xh, xl])
         a, rest = subs.split(",", 1)
         b, out = rest.split("->")
         return jnp.einsum(
