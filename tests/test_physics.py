@@ -134,3 +134,43 @@ def test_reference_state_hydrostatic(tmp_path):
     # residual small relative to the weight term, away from the endpoints
     scale = np.abs(rho_t * td.GRAVITY).max()
     assert np.abs(resid[2:-2]).max() < 0.02 * scale
+
+
+def test_potential_temperature_identities():
+    # at p = p_0 (1000 hPa), theta == T by definition
+    Tk, q_v = 290.0, 0.0
+    # find (s, xi) that give p = 1000 exactly: dry air, rho from ideal gas
+    rho_d = 100.0 * td.p_0 / (td.Rd * Tk)
+    s = float(td.entropy(jnp.asarray(Tk), rho_d, q_v))
+    xi = float(td.log_dry_density(jnp.asarray(rho_d)))
+    theta = float(td.potential_temperature(s, xi, 0.0))
+    assert np.isclose(theta, Tk, rtol=1e-10)
+
+
+def test_theta_e_and_theta_rho_ordering():
+    """theta_e >= theta (latent reserve); theta_rho < theta for moist air
+    with condensate loading."""
+    Tk, q_v = 295.0, 0.015
+    rho_d = 1.0
+    s = float(td.entropy(jnp.asarray(Tk), rho_d, q_v))
+    xi = float(td.log_dry_density(jnp.asarray(rho_d)))
+    mu = float(td.bhyp(q_v))
+    theta = float(td.potential_temperature(s, xi, mu))
+    theta_e = float(td.reversible_theta_e(s, xi, mu))
+    theta_rho_dry_load = float(td.theta_rho(s, xi, mu, float(td.bhyp(0.003))))
+    assert theta_e > theta
+    # vapor raises theta_rho vs theta/(1+qt); condensate lowers it:
+    theta_rho_noload = float(td.theta_rho(s, xi, mu, 0.0))
+    assert theta_rho_dry_load < theta_rho_noload
+
+
+def test_dewpoint_below_temperature_when_subsaturated():
+    p, q_v = 950.0, 0.008
+    Td = float(td.dewpoint(p, q_v))
+    # air at 300 K with this vapor content is subsaturated
+    assert Td < 300.0
+    # and dewpoint of saturated air ~ its temperature
+    Tk = 285.0
+    q_sat = float(td.q_sat_liquid(jnp.asarray(Tk), p))
+    Td_sat = float(td.dewpoint(p, q_sat))
+    assert abs(Td_sat - Tk) < 1.0
