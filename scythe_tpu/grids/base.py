@@ -72,17 +72,17 @@ class Grid:
     project_r: jnp.ndarray  # [nb, rDim] (var-independent local quadrature)
     msolve_r: jnp.ndarray  # [nvars, nb, nb]
     synth_r: jnp.ndarray  # [3, rDim, nb]
+    synth_r_val: jnp.ndarray | None = None  # [rDim, nb] value row only
     # azimuthal (real-DFT; spectral state holds lambda coefficients)
     nl: int = 0
     ring_mask: jnp.ndarray | None = None  # [rDim, nl] over real coeff slots
     l_analysis: jnp.ndarray | None = None  # [nl, nl] values -> coeffs
     l_synth: jnp.ndarray | None = None  # [nl, nl] coeffs -> values
-    l_deriv2: jnp.ndarray | None = None  # [2, nl, nl] coeffs -> (dl, dll)
+    l_all: jnp.ndarray | None = None  # [3, nl, nl] coeffs -> (val, dl, dll)
     # vertical
     z_mish: np.ndarray | None = None  # [nz]
     analysis_z: jnp.ndarray | None = None  # [nvars, nz, nz] (constrain @ dct)
-    z_val_s: jnp.ndarray | None = None  # [nz, nz] coeff -> value
-    z_der2: jnp.ndarray | None = None  # [2, nz, nz] coeff -> (dz, dzz)
+    z_all: jnp.ndarray | None = None  # [3, nz, nz] coeff -> (val, dz, dzz)
     zcol_int: jnp.ndarray | None = None  # [nz, nz] R0 column antiderivative
     zcol_deriv: jnp.ndarray | None = None  # [nz, nz] R0 column d/dz
     zcol_filter: jnp.ndarray | None = None  # [nz, nz] CB+CA+CI round trip
@@ -197,41 +197,37 @@ class Grid:
         hat = self._mm("kl,vrlz->vrkz", self.l_analysis, phys)
         return hat * self.ring_mask[None, :, :, None]
 
+    def _analysis_with(self, radial_op, radial_subs: str, phys: jnp.ndarray):
+        """Shared analysis chain, ordered shrink-early: the lambda transform
+        runs first (the per-ring dealias mask is r-dependent, so it must be
+        applied while the r axis is physical), then the radial contraction
+        (rDim -> b_rDim, a ~3x shrink) so the vertical GEMM sees the
+        smallest operand.  All 1-D operators commute across axes, so this
+        equals the reference's per-direction transform composition exactly."""
+        g = self.geometry
+        if g == "R":
+            return self._mm(radial_subs + ",vr->vb", radial_op, phys)
+        if g == "RL":
+            return self._mm(radial_subs + ",vrk->vbk", radial_op, self._l_coeffs(phys))
+        if g == "RZ":
+            rc = self._mm(radial_subs + ",vrz->vbz", radial_op, phys)
+            return self._mm("vKz,vbz->vbK", self.analysis_z, rc)
+        rc = self._mm(radial_subs + ",vrkz->vbkz", radial_op, self._l_coeffs(phys))
+        return self._mm("vKz,vbkz->vbkK", self.analysis_z, rc)
+
     def analysis(self, phys: jnp.ndarray) -> jnp.ndarray:
         """physical [nvars, *spatial] -> spectral (ref spectralTransform!).
 
         Spectral layout: [nvars, b_rDim] (R), + nl lambda coefficients (RL),
         + nz Chebyshev coefficients (RZ/RLZ) — non-radial axes in
         coefficient space."""
-        g = self.geometry
-        if g == "R":
-            return self._mm("vbr,vr->vb", self.analysis_r, phys)
-        if g == "RL":
-            return self._mm("vbr,vrk->vbk", self.analysis_r, self._l_coeffs(phys))
-        if g == "RZ":
-            zc = self._mm("vkz,vrz->vrk", self.analysis_z, phys)
-            return self._mm("vbr,vrk->vbk", self.analysis_r, zc)
-        zc = self._mm("vKz,vrlz->vrlK", self.analysis_z, phys)
-        hat = self._mm("kl,vrlK->vrkK", self.l_analysis, zc)
-        hat = hat * self.ring_mask[None, :, :, None]
-        return self._mm("vbr,vrkK->vbkK", self.analysis_r, hat)
+        return self._analysis_with(self.analysis_r, "vbr", phys)
 
     def project(self, phys: jnp.ndarray) -> jnp.ndarray:
         """Local (decomposable) radial quadrature projection.  Summing
         projections over radial shards then applying ``solve_spectral``
         equals ``analysis`` exactly — the sharded-transform contract."""
-        g = self.geometry
-        if g == "R":
-            return self._mm("br,vr->vb", self.project_r, phys)
-        if g == "RL":
-            return self._mm("br,vrk->vbk", self.project_r, self._l_coeffs(phys))
-        if g == "RZ":
-            zc = self._mm("vkz,vrz->vrk", self.analysis_z, phys)
-            return self._mm("br,vrk->vbk", self.project_r, zc)
-        zc = self._mm("vKz,vrlz->vrlK", self.analysis_z, phys)
-        hat = self._mm("kl,vrlK->vrkK", self.l_analysis, zc)
-        hat = hat * self.ring_mask[None, :, :, None]
-        return self._mm("br,vrkK->vbkK", self.project_r, hat)
+        return self._analysis_with(self.project_r, "br", phys)
 
     def solve_spectral(self, proj: jnp.ndarray) -> jnp.ndarray:
         """Apply the (small, replicated) Gram/filter/BC solve to a summed
@@ -240,8 +236,14 @@ class Grid:
 
     def synthesis(self, spec: jnp.ndarray) -> dict[str, jnp.ndarray]:
         """spectral -> all physical derivative slots (ref gridTransform! /
-        tileTransform!; slot layout SURVEY.md 2.4).  Each stage is a single
-        stacked GEMM over all variables and slots."""
+        tileTransform!; slot layout SURVEY.md 2.4).
+
+        Ordered expand-late: the vertical and azimuthal operators (1x size)
+        run on the compact [nvars, b_rDim, ...] coefficient block first, with
+        derivative slots as stacked GEMMs, and the radial synthesis (the
+        ~3x b_rDim -> rDim expansion) runs last — so the large physical-size
+        tensors are produced exactly once each, not carried through every
+        stage (HBM traffic, not FLOPs, bounds this path on TPU)."""
         g = self.geometry
         out: dict[str, jnp.ndarray] = {}
         if g == "R":
@@ -249,28 +251,28 @@ class Grid:
             out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
             return out
         if g == "RL":
-            r3 = self._mm("drb,vbk->vdrk", self.synth_r, spec)
-            v3 = self._mm("lk,vdrk->vdrl", self.l_synth, r3)
-            out["val"], out["dr"], out["drr"] = v3[:, 0], v3[:, 1], v3[:, 2]
-            d2 = self._mm("dlk,vrk->vdrl", self.l_deriv2, r3[:, 0])
-            out["dl"], out["dll"] = d2[:, 0], d2[:, 1]
+            lc = self._mm("dlk,vbk->vdbl", self.l_all, spec)
+            r3 = self._mm("drb,vbl->vdrl", self.synth_r, lc[:, 0])
+            rd = self._mm("rb,vdbl->vdrl", self.synth_r_val, lc[:, 1:])
+            out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
+            out["dl"], out["dll"] = rd[:, 0], rd[:, 1]
             return out
         if g == "RZ":
-            rz = self._mm("drb,vbk->vdrk", self.synth_r, spec)
-            z3 = self._mm("zk,vdrk->vdrz", self.z_val_s, rz)
-            out["val"], out["dr"], out["drr"] = z3[:, 0], z3[:, 1], z3[:, 2]
-            zd = self._mm("dzk,vrk->vdrz", self.z_der2, rz[:, 0])
-            out["dz"], out["dzz"] = zd[:, 0], zd[:, 1]
+            zc = self._mm("dzK,vbK->vdbz", self.z_all, spec)
+            r3 = self._mm("drb,vbz->vdrz", self.synth_r, zc[:, 0])
+            rd = self._mm("rb,vdbz->vdrz", self.synth_r_val, zc[:, 1:])
+            out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
+            out["dz"], out["dzz"] = rd[:, 0], rd[:, 1]
             return out
-        rz = self._mm("drb,vbkK->vdrkK", self.synth_r, spec)
-        zv = self._mm("zK,vdrkK->vdrkz", self.z_val_s, rz)
-        v3 = self._mm("lk,vdrkz->vdrlz", self.l_synth, zv)
-        out["val"], out["dr"], out["drr"] = v3[:, 0], v3[:, 1], v3[:, 2]
-        zd = self._mm("dzK,vrkK->vdrkz", self.z_der2, rz[:, 0])
-        zd_l = self._mm("lk,vdrkz->vdrlz", self.l_synth, zd)
-        out["dz"], out["dzz"] = zd_l[:, 0], zd_l[:, 1]
-        ld = self._mm("dlk,vrkz->vdrlz", self.l_deriv2, zv[:, 0])
-        out["dl"], out["dll"] = ld[:, 0], ld[:, 1]
+        zc = self._mm("dzK,vbkK->vdbkz", self.z_all, spec)
+        lv = self._mm("dlk,vbkz->vdblz", self.l_all, zc[:, 0])
+        lz = self._mm("lk,vdbkz->vdblz", self.l_synth, zc[:, 1:])
+        r3 = self._mm("drb,vblz->vdrlz", self.synth_r, lv[:, 0])
+        rl = self._mm("rb,vdblz->vdrlz", self.synth_r_val, lv[:, 1:])
+        rz = self._mm("rb,vdblz->vdrlz", self.synth_r_val, lz)
+        out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
+        out["dl"], out["dll"] = rl[:, 0], rl[:, 1]
+        out["dz"], out["dzz"] = rz[:, 0], rz[:, 1]
         return out
 
     # ------------------------------------------------------------------
@@ -329,6 +331,7 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         project_r=prep(proj),
         msolve_r=prep(np.stack(ms)),
         synth_r=prep(synth),
+        synth_r_val=prep(synth[0]),
     )
 
     # --- azimuthal ------------------------------------------------------
@@ -342,7 +345,7 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         la, ls, ld, ld2 = fourier.dft_matrices(nl)
         grid.l_analysis = prep(la)
         grid.l_synth = prep(ls)
-        grid.l_deriv2 = prep(np.stack([ld, ld2]))
+        grid.l_all = prep(np.stack([ls, ld, ld2]))
 
     # --- vertical -------------------------------------------------------
     if p.geometry in ("RZ", "RLZ"):
@@ -355,8 +358,7 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         z0 = chebyshev.build_ops(p.zDim, p.zmin, p.zmax, p.b_zDim)
         grid.z_mish = z0.points
         grid.analysis_z = prep(np.stack(anz))
-        grid.z_val_s = prep(z0.synth)
-        grid.z_der2 = prep(np.stack([z0.dsynth, z0.d2synth]))
+        grid.z_all = prep(np.stack([z0.synth, z0.dsynth, z0.d2synth]))
         r0a = z0.constrain @ z0.analysis
         grid.zcol_int = prep(z0.isynth @ r0a)
         grid.zcol_deriv = prep(z0.dsynth @ r0a)

@@ -62,6 +62,9 @@ def _local_grid(grid: Grid, idx, rows: int) -> Grid:
     off = 1 if grid.comp else 0
     lg = copy.copy(grid)
     lg.synth_r = jax.lax.dynamic_slice_in_dim(grid.synth_r, start, rows, axis=1 + off)
+    lg.synth_r_val = jax.lax.dynamic_slice_in_dim(
+        grid.synth_r_val, start, rows, axis=0 + off
+    )
     lg.project_r = jax.lax.dynamic_slice_in_dim(
         grid.project_r, start, rows, axis=1 + off
     )
