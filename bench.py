@@ -71,6 +71,18 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
+# Peak dense-matmul rate per chip by device kind (bf16, the rate the
+# compensated scheme rides).  Conservative public numbers; used only for
+# the MFU *estimate* printed alongside the throughput metric.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5e": 394e12,
+    "TPU v5 lite": 394e12,  # device_kind string for v5e
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+}
+
+
 def rlz_transform_bench(device, dtype, reps=20):
     """Transform-only throughput on a 3-D RLZ grid (the BASELINE.json
     primary metric 'grid-points/s per chip (RLZ transforms)'): one full
@@ -98,6 +110,12 @@ def rlz_transform_bench(device, dtype, reps=20):
         def roundtrip(s):
             return grid.analysis(grid.synthesis(s)["val"])
 
+        lowered = jax.jit(roundtrip).lower(spec)
+        compiled = lowered.compile()
+        try:
+            flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
+        except Exception:
+            flops = 0.0
         f = jax.jit(roundtrip)
         t0 = time.time()
         out = jax.block_until_ready(f(spec))
@@ -108,11 +126,16 @@ def rlz_transform_bench(device, dtype, reps=20):
         jax.block_until_ready(out)
         dt = (time.time() - t0) / reps
         gps = grid.num_points * gp.nvars / dt
+        peak = _PEAK_FLOPS.get(getattr(device, "device_kind", ""), None)
+        mfu = (flops / dt / peak) if (peak and flops) else None
         return dict(
             points=grid.num_points,
             nvars=gp.nvars,
             transform_roundtrips_per_s=1.0 / dt,
             grid_points_per_s=gps,
+            flops_per_roundtrip=flops,
+            tflops_per_s=flops / dt / 1e12 if flops else None,
+            mfu_est=mfu,
             compile_s=compile_s,
         )
 
@@ -190,8 +213,39 @@ def numerics_canary(device, dtype):
         )
 
 
+def _scaling_subprocess():
+    """Run scaling_bench on an 8-virtual-device CPU mesh in a subprocess
+    (the ambient session may be pinned to a single TPU chip) and return
+    {n: weak_scaling_eff}."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    out = subprocess.run(
+        [sys.executable, __file__, "--scaling-only"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    if out.returncode != 0:
+        print(f"scaling subprocess failed:\n{out.stderr[-2000:]}", file=sys.stderr)
+        return None
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     import jax
+
+    if "--scaling-only" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        res = scaling_bench()
+        print(json.dumps({str(n): v["weak_scaling_eff"] for n, v in res.items()}))
+        return
 
     _enable_compile_cache()
     jax.config.update("jax_enable_x64", True)
@@ -210,13 +264,28 @@ def main():
     cpu_stats = measure(cpu, jnp.float64, 50, reps=2)
     print(f"cpu-f64 baseline proxy: {cpu_stats}", file=sys.stderr)
 
-    if "--full" in sys.argv:
-        rlz = rlz_transform_bench(accel, jnp.float32 if on_accel else jnp.float64)
-        print(f"RLZ transforms: {rlz}", file=sys.stderr)
-        print(f"scaling: {scaling_bench()}", file=sys.stderr)
+    rlz = rlz_transform_bench(accel, jnp.float32 if on_accel else jnp.float64)
+    print(f"RLZ transforms: {rlz}", file=sys.stderr)
+    try:
+        scaling = _scaling_subprocess()
+    except Exception as e:  # scaling is secondary: never fail the bench line
+        print(f"scaling bench skipped: {e}", file=sys.stderr)
+        scaling = None
+    print(f"scaling (8 virtual CPU devices): {scaling}", file=sys.stderr)
 
     value = accel_stats["grid_point_steps_per_s"]
     vs = value / cpu_stats["grid_point_steps_per_s"]
+    extra = {
+        "rlz_transform_grid_point_values_per_s": round(rlz["grid_points_per_s"], 1),
+        "rlz_transform_tflops_per_s": (
+            round(rlz["tflops_per_s"], 2) if rlz["tflops_per_s"] else None
+        ),
+        "rlz_transform_mfu_est": (
+            round(rlz["mfu_est"], 4) if rlz["mfu_est"] else None
+        ),
+    }
+    if scaling:
+        extra["weak_scaling_eff_cpu8"] = {k: round(v, 3) for k, v in scaling.items()}
     print(
         json.dumps(
             {
@@ -224,6 +293,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "grid-point-steps/s",
                 "vs_baseline": round(vs, 3),
+                **extra,
             }
         )
     )
