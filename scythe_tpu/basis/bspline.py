@@ -196,6 +196,10 @@ class BSplineOps:
     msolve: np.ndarray  # [nb, nb]
     analysis: np.ndarray  # [nb, 3n]
     synth: np.ndarray  # [3, 3n, nb]  (value, d/dr, d2/dr2)
+    # Constrained-space pieces, exposed for the distributed (Schur) solve
+    # (parallel/schur.py): a = T @ inv(mmat) @ T.T @ p.
+    T: np.ndarray = None  # [nb, K] basis-recombination
+    mmat: np.ndarray = None  # [K, K] gram + filter (banded, hbw 3)
 
 
 @lru_cache(maxsize=None)
@@ -243,4 +247,6 @@ def build_ops(
         msolve=msolve,
         analysis=analysis,
         synth=synth,
+        T=T,
+        mmat=m,
     )

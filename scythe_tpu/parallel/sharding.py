@@ -34,10 +34,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import timeintegration as ti
-from ..grids.base import Grid
+from ..grids.base import Grid, _split3
 from ..model import build_context, build_step
+from . import schur as schur_mod
 
 AXIS = "r"
+MUBAR = 3  # mish points per cell
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -81,11 +83,12 @@ def _local_coords(coords: dict, idx, rows: int) -> dict:
     return out
 
 
-def state_specs() -> ti.ModelState:
-    """PartitionSpecs for a ModelState: spectral replicated, physical
-    histories sharded along the radial axis."""
+def state_specs(method: str = "psum") -> ti.ModelState:
+    """PartitionSpecs for a ModelState.  psum path: spectral replicated;
+    halo path: spectral sharded along its (windowed) radial-coefficient
+    axis.  Physical histories sharded along the radial axis either way."""
     return ti.ModelState(
-        spec=P(),
+        spec=P() if method == "psum" else P(None, AXIS),
         expdot_nm1=P(None, AXIS),
         expdot_nm2=P(None, AXIS),
         impdot_nm1=P(None, AXIS),
@@ -94,31 +97,160 @@ def state_specs() -> ti.ModelState:
     )
 
 
-def shard_state(state: ti.ModelState, mesh: Mesh) -> ti.ModelState:
-    specs = state_specs()
+def shard_state(state: ti.ModelState, mesh: Mesh, method: str = "psum") -> ti.ModelState:
+    specs = state_specs(method)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
     )
 
 
-def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh):
+# ---------------------------------------------------------------------------
+# Halo (Schur) path: windowed spectral state, O(halo) per-step communication.
+# See parallel/schur.py for the factorization; ref semiimplicit.jl:84-86.
+
+
+def spec_to_blocks(spec, n: int, cl: int) -> jnp.ndarray:
+    """Canonical spectral [v, nb, ...] -> windowed blocks [v, n*W, ...]
+    (window i = raw coefficient rows [i*cl, i*cl+cl+3); halo rows are
+    duplicated across neighbors by construction)."""
+    W = cl + schur_mod.HALO
+    blocks = [spec[:, i * cl : i * cl + W] for i in range(n)]
+    return jnp.concatenate(blocks, axis=1)
+
+
+def blocks_to_spec(blocks, n: int, cl: int) -> jnp.ndarray:
+    """Windowed blocks [v, n*W, ...] -> canonical spectral [v, nb, ...]
+    (drop halo duplicates; the last shard's window is fully owned)."""
+    W = cl + schur_mod.HALO
+    parts = [blocks[:, i * W : i * W + cl] for i in range(n - 1)]
+    parts.append(blocks[:, (n - 1) * W : n * W])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _take_shard(arr, idx, comp: bool):
+    """Select shard idx from a stacked [n, ...] (or compensated
+    [3, n, ...]) operator array inside shard_map."""
+    off = 1 if comp else 0
+    sl = jax.lax.dynamic_slice_in_dim(arr, idx, 1, axis=off)
+    return jax.lax.squeeze(sl, (off,))
+
+
+class HaloOps:
+    """Device-prepped Schur matrices (stacked over shards, through the
+    grid's matmul mode) + static partition facts."""
+
+    def __init__(self, grid: Grid, n: int):
+        sops = schur_mod.build_schur_ops(grid.params, n)
+        prep = (
+            _split3
+            if grid.comp
+            else (lambda a: jnp.asarray(np.asarray(a), grid.dtype))
+        )
+        self.n, self.cl, self.W = sops.n, sops.cl, sops.W
+        self.GL = prep(sops.GL)
+        self.GRr = prep(sops.GRr)
+        self.CS = prep(sops.CS)
+        self.AP = prep(sops.AP)
+        self.AC = prep(sops.AC)
+
+
+def _window_grid(grid: Grid, idx, n: int) -> Grid:
+    """A shallow grid copy whose radial operators are this shard's WINDOW
+    slices: synthesis maps the local coefficient window [W] to the local
+    physical rows, and projection maps local physical rows to the window.
+    With the windowed state layout, sharded synthesis needs no
+    communication at all."""
+    cl = grid.params.num_cells // n
+    W = cl + schur_mod.HALO
+    rows = grid.params.rDim // n
+    r0 = idx * rows
+    b0 = idx * cl
+    off = 1 if grid.comp else 0
+    lg = copy.copy(grid)
+    sr = jax.lax.dynamic_slice_in_dim(grid.synth_r, r0, rows, axis=1 + off)
+    lg.synth_r = jax.lax.dynamic_slice_in_dim(sr, b0, W, axis=2 + off)
+    sv = jax.lax.dynamic_slice_in_dim(grid.synth_r_val, r0, rows, axis=0 + off)
+    lg.synth_r_val = jax.lax.dynamic_slice_in_dim(sv, b0, W, axis=1 + off)
+    pr = jax.lax.dynamic_slice_in_dim(grid.project_r, b0, W, axis=0 + off)
+    lg.project_r = jax.lax.dynamic_slice_in_dim(pr, r0, rows, axis=1 + off)
+    if grid.ring_mask is not None:
+        lg.ring_mask = jax.lax.dynamic_slice_in_dim(grid.ring_mask, r0, rows, axis=0)
+    return lg
+
+
+def _halo_analysis(grid: Grid, wg: Grid, hops: HaloOps, idx, phys):
+    """Distributed exact analysis on the windowed layout: local projection,
+    one 3-row overflow ppermute, local Schur elimination, a 3-row-per-shard
+    all_gather + tiny interface solve, local back-substitution, and one
+    3-row halo ppermute.  Returns the shard's spectral window [v, W, ...]."""
+    n, cl, W = hops.n, hops.cl, hops.W
+    right = [(i, (i + 1) % n) for i in range(n)]
+    left = [(i, (i - 1) % n) for i in range(n)]
+    is_last = (idx == n - 1).astype(phys.dtype)
+
+    p_loc = wg.project(phys)  # [v, W, ...]
+    tail = p_loc[:, cl:] * (1.0 - is_last)  # last shard owns its tail
+    recv = jax.lax.ppermute(tail, AXIS, right)
+    p_own = p_loc.at[:, cl:].multiply(is_last).at[:, :3].add(recv)
+
+    GL = _take_shard(hops.GL, idx, grid.comp)
+    GRr = _take_shard(hops.GRr, idx, grid.comp)
+    g = grid._mm("vsw,vw...->vs...", GL, p_own)
+    gr = grid._mm("vsw,vw...->vs...", GRr, p_own)
+    g = g + jax.lax.ppermute(gr, AXIS, right)
+
+    g_all = jax.lax.all_gather(g, AXIS, axis=0)  # [n, v, 3, ...]
+    g_flat = jnp.moveaxis(g_all, 0, 1).reshape(
+        (g.shape[0], 3 * n) + g.shape[2:]
+    )
+    CS = _take_shard(hops.CS, idx, grid.comp)
+    c6 = grid._mm("vsg,vg...->vs...", CS, g_flat)
+
+    AP = _take_shard(hops.AP, idx, grid.comp)
+    AC = _take_shard(hops.AC, idx, grid.comp)
+    a_own = grid._mm("vuw,vw...->vu...", AP, p_own) + grid._mm(
+        "vus,vs...->vu...", AC, c6
+    )
+    head = jax.lax.ppermute(a_own[:, :3], AXIS, left)
+    return a_own.at[:, cl:].add(head * (1.0 - is_last))
+
+
+def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh, method="psum"):
     """Shard-mapped single step.  Returns step(state) -> state (not jitted;
-    compose with model.make_scan)."""
+    compose with model.make_scan).
+
+    ``method``:
+    * "psum" (default, best for small meshes): spectral state replicated;
+      analysis = local projection + psum of the full projection array +
+      replicated solve.
+    * "halo" (scalable): spectral state sharded as per-shard coefficient
+      windows; analysis = Schur-complement distributed solve with O(halo)
+      communication (parallel/schur.py).  Bit-compatible physics, solution
+      equal to "psum" to roundoff.
+    """
     n = mesh.shape[AXIS]
     _check_divisible(grid, n)
     rows = grid.params.rDim // n
+    hops = HaloOps(grid, n) if method == "halo" else None
 
     def body(spec, e1, e2, i1, i2, t):
         idx = jax.lax.axis_index(AXIS)
-        lg = _local_grid(grid, idx, rows)
+        if method == "halo":
+            lg = _window_grid(grid, idx, n)
+
+            def analysis_fn(phys):
+                return _halo_analysis(grid, lg, hops, idx, phys)
+
+        else:
+            lg = _local_grid(grid, idx, rows)
+
+            def analysis_fn(phys):
+                proj = lg.project(phys)
+                return grid.solve_spectral(jax.lax.psum(proj, AXIS))
+
         lctx = dataclasses.replace(
             ctx, grid=lg, coords=_local_coords(ctx.coords, idx, rows)
         )
-
-        def analysis_fn(phys):
-            proj = lg.project(phys)
-            return grid.solve_spectral(jax.lax.psum(proj, AXIS))
-
         step = build_step(
             model,
             lg,
@@ -131,7 +263,7 @@ def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh):
         out = step(st)
         return tuple(out)
 
-    specs = state_specs()
+    specs = state_specs(method)
     mapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -146,7 +278,7 @@ def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh):
     return step
 
 
-def integrate_sharded(model, n_devices: int, dtype=None):
+def integrate_sharded(model, n_devices: int, dtype=None, method="psum"):
     """Sharded analog of model.integrate_model: same output cadence and
     watchdog, radial dimension split over ``n_devices``."""
     import numpy as np
@@ -156,13 +288,21 @@ def integrate_sharded(model, n_devices: int, dtype=None):
 
     dtype = dtype or default_dtype()
     mesh = make_mesh(n_devices)
-    grid, ctx, state = initialize_sharded(model, mesh, dtype)
-    step = build_sharded_step(model, grid, ctx, dtype, mesh)
+    grid, ctx, state = initialize_sharded(model, mesh, dtype, method)
+    step = build_sharded_step(model, grid, ctx, dtype, mesh, method)
     num_ts = model.num_ts
     output_int = max(1, min(model.output_int, num_ts))
     chunk = _pick_chunk(output_int)
     scan = make_scan(step, chunk)
-    phys = np.asarray(grid.synthesis(state.spec)["val"])
+    cl = grid.params.num_cells // mesh.shape[AXIS]
+
+    def fetch_phys(st):
+        spec = st.spec
+        if method == "halo":
+            spec = blocks_to_spec(spec, mesh.shape[AXIS], cl)
+        return np.asarray(grid.synthesis(spec)["val"])
+
+    phys = fetch_phys(state)
     sio.check_cfl(grid, phys)
     sio.write_output(grid, model, 0.0, phys)
     done = 0
@@ -174,14 +314,14 @@ def integrate_sharded(model, n_devices: int, dtype=None):
         else:
             state = make_scan(step, n)(state)
         done += n
-        phys = np.asarray(grid.synthesis(state.spec)["val"])
+        phys = fetch_phys(state)
         sio.check_cfl(grid, phys)
         sio.write_output(grid, model, done * model.ts, phys)
         print(f"ts: {done * model.ts}", flush=True)
     return grid, phys
 
 
-def initialize_sharded(model, mesh: Mesh, dtype=None):
+def initialize_sharded(model, mesh: Mesh, dtype=None, method="psum"):
     """Sharded analog of model.initialize: build grid/context/state and
     place the state according to the mesh."""
     from .. import io as sio
@@ -190,9 +330,12 @@ def initialize_sharded(model, mesh: Mesh, dtype=None):
 
     dtype = dtype or default_dtype()
     grid = create_grid(model.grid_params, dtype)
-    _check_divisible(grid, mesh.shape[AXIS])
+    n = mesh.shape[AXIS]
+    _check_divisible(grid, n)
     ctx = build_context(model, grid, dtype)
     phys0 = sio.read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
+    if method == "halo":
+        spec0 = spec_to_blocks(spec0, n, grid.params.num_cells // n)
     state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
-    return grid, ctx, shard_state(state, mesh)
+    return grid, ctx, shard_state(state, mesh, method)

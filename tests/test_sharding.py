@@ -102,8 +102,81 @@ def _slab_setup(tmp_path):
     return model
 
 
-@pytest.mark.parametrize("setup", [_advection_setup, _slab_setup])
-def test_sharded_matches_single(tmp_path, setup):
+def _write_sounding(path, zmax=10000.0):
+    zs = np.linspace(0.0, zmax * 1.2, 50)
+    theta = 300.0 + 0.004 * zs
+    qv = 12.0 * np.exp(-zs / 2500.0)
+    with open(path, "w") as f:
+        f.write(f"1015.0 {theta[0]} {qv[0]}\n")
+        for z, th, q in zip(zs[1:], theta[1:], qv[1:]):
+            f.write(f"{z} {th} {q}\n")
+    return path
+
+
+def _rz_setup(eqset, vars_, ts):
+    """RZ semi-implicit configs: the 'hard path' (Helmholtz column solve +
+    condensation adjustment) that round-1 sharding tests skipped."""
+
+    def setup(tmp_path):
+        gp = GridParameters(
+            geometry="RZ",
+            xmin=0.0,
+            xmax=10000.0,
+            num_cells=32,
+            zmin=0.0,
+            zmax=10000.0,
+            zDim=30,
+            BCL={"u": BC.R1T0, "w": BC.R1T1},
+            BCR={"u": BC.R1T0},
+            vars=vars_,
+        )
+        model = ModelParameters(
+            ts=ts,
+            integration_time=10 * ts,
+            output_interval=10 * ts,
+            equation_set=eqset,
+            initial_conditions=str(tmp_path / "ics.csv"),
+            output_dir=str(tmp_path / "out"),
+            ref_state_file=_write_sounding(str(tmp_path / "sounding.txt")),
+            grid_params=gp,
+            physical_params={"K": 5.0},
+            options={"semiimplicit": True},
+        )
+        grid = create_grid(gp, jnp.float64)
+        pts = grid.gridpoints()
+        r, z = pts[:, 0], pts[:, 1]
+        rad = np.sqrt((r / 2000.0) ** 2 + ((z - 2000.0) / 2000.0) ** 2)
+        s_pert = 3.0 * np.maximum(0.0, np.cos(np.pi * np.minimum(rad, 1.0) / 2.0)) ** 2
+        names = list(vars_)
+        with open(model.initial_conditions, "w") as f:
+            f.write("r,z," + ",".join(names) + "\n")
+            for i in range(len(r)):
+                vals = {"s": s_pert[i]}
+                f.write(
+                    f"{r[i]},{z[i]},"
+                    + ",".join(str(vals.get(n, 0.0)) for n in names)
+                    + "\n"
+                )
+        return model
+
+    return setup
+
+
+_euler_rz_setup = _rz_setup(
+    "Euler_test", {"s": 1, "xi": 2, "mu": 3, "u": 4, "w": 5}, ts=0.15
+)
+_moist_rz_setup = _rz_setup(
+    "rainfall_test",
+    {"s": 1, "xi": 2, "mu": 3, "u": 4, "w": 5, "mu_c": 6, "mu_r": 7, "qss": 8},
+    ts=0.1,
+)
+
+
+@pytest.mark.parametrize("method", ["psum", "halo"])
+@pytest.mark.parametrize(
+    "setup", [_advection_setup, _slab_setup, _euler_rz_setup, _moist_rz_setup]
+)
+def test_sharded_matches_single(tmp_path, setup, method):
     model = setup(tmp_path)
     n_steps = 10
 
@@ -112,12 +185,15 @@ def test_sharded_matches_single(tmp_path, setup):
     ref = make_scan(step, n_steps)(state)
 
     mesh = sh.make_mesh(8)
-    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh)
-    sstep = sh.build_sharded_step(model, grid2, ctx2, jnp.float64, mesh)
+    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh, method=method)
+    sstep = sh.build_sharded_step(model, grid2, ctx2, jnp.float64, mesh, method)
     out = make_scan(sstep, n_steps)(state2)
 
+    spec = np.asarray(out.spec)
+    if method == "halo":
+        spec = np.asarray(sh.blocks_to_spec(out.spec, 8, grid.params.num_cells // 8))
     np.testing.assert_allclose(
-        np.asarray(out.spec), np.asarray(ref.spec), rtol=1e-12, atol=1e-12
+        spec, np.asarray(ref.spec), rtol=1e-12, atol=1e-12
     )
     np.testing.assert_allclose(
         np.asarray(out.expdot_nm1), np.asarray(ref.expdot_nm1), rtol=1e-12, atol=1e-12
