@@ -42,6 +42,19 @@ def parse_args(argv=None):
         action="store_true",
         help="call jax.distributed.initialize() for multi-host pods",
     )
+    p.add_argument(
+        "--shard-method",
+        choices=["psum", "halo"],
+        default="psum",
+        help="sharded-analysis method: psum (replicated spectral, small "
+        "meshes) or halo (Schur solve, O(halo) comms, scalable)",
+    )
+    p.add_argument(
+        "--resume-from", default=None, help="binary checkpoint .npz to resume from"
+    )
+    p.add_argument(
+        "--profile-dir", default=None, help="write a JAX profiler trace here"
+    )
     return p.parse_args(argv)
 
 
@@ -80,11 +93,23 @@ def main(argv=None):
     if args.devices > 1:
         from scythe_tpu.parallel.sharding import integrate_sharded
 
-        integrate_sharded(model, args.devices, dtype)
+        integrate_sharded(
+            model,
+            args.devices,
+            dtype,
+            method=args.shard_method,
+            resume_from=args.resume_from,
+            profile_dir=args.profile_dir,
+        )
     else:
         from scythe_tpu import integrate_model
 
-        integrate_model(model, dtype=dtype)
+        integrate_model(
+            model,
+            dtype=dtype,
+            resume_from=args.resume_from,
+            profile_dir=args.profile_dir,
+        )
     print(f"All done! ({time.time() - t0:.1f}s)")
 
 

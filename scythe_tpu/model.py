@@ -196,27 +196,82 @@ def integrate_model(
     * ``profile_dir`` wraps the loop in a JAX profiler trace.
     """
     dtype = dtype or default_dtype()
-    os.makedirs(model.output_dir, exist_ok=True)
-    handler = logging.FileHandler(os.path.join(model.output_dir, "scythe_out.log"))
-    log.addHandler(handler)
-    log.setLevel(logging.INFO)
-    try:
-        if profile_dir:
-            with jax.profiler.trace(profile_dir):
-                return _run(model, dtype, write_outputs, resume_from)
+    with logged_run(model, profile_dir):
         return _run(model, dtype, write_outputs, resume_from)
-    finally:
-        log.removeHandler(handler)
+
+
+class logged_run:
+    """Context manager shared by the single-device and sharded drivers:
+    scythe_out.log file handler + optional JAX profiler trace."""
+
+    def __init__(self, model: ModelParameters, profile_dir: str | None = None):
+        self.model = model
+        self.profile_dir = profile_dir
+        self._trace = None
+
+    def __enter__(self):
+        os.makedirs(self.model.output_dir, exist_ok=True)
+        self.handler = logging.FileHandler(
+            os.path.join(self.model.output_dir, "scythe_out.log")
+        )
+        log.addHandler(self.handler)
+        log.setLevel(logging.INFO)
+        if self.profile_dir:
+            self._trace = jax.profiler.trace(self.profile_dir)
+            self._trace.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._trace is not None:
+            self._trace.__exit__(*exc)
+        log.removeHandler(self.handler)
+        return False
 
 
 def _run(model: ModelParameters, dtype, write_outputs, resume_from=None):
     t_setup = _time.time()
     grid, ctx, state = initialize(model, dtype)
+    step = build_step(model, grid, ctx, dtype)
+    return run_loop(
+        model,
+        grid,
+        ctx,
+        state,
+        step,
+        dtype,
+        write_outputs=write_outputs,
+        resume_from=resume_from,
+        t_setup=t_setup,
+    )
+
+
+def run_loop(
+    model: ModelParameters,
+    grid,
+    ctx,
+    state,
+    step,
+    dtype,
+    *,
+    write_outputs=True,
+    resume_from=None,
+    t_setup=None,
+    to_canonical=None,
+    from_canonical=None,
+):
+    """The shared output/checkpoint/watchdog time loop (ref run_model +
+    model_loop, src/semiimplicit.jl:219-293).  The sharded driver passes
+    ``to_canonical``/``from_canonical`` to map between its spectral state
+    layout (e.g. halo-windowed blocks) and the canonical spectral array used
+    for synthesis, checkpoints, and resume."""
+    t_setup = t_setup or _time.time()
     t_sim0 = 0.0
     if resume_from:
-        state, t_sim0 = sio.load_checkpoint(resume_from, dtype)
+        state0, t_sim0 = sio.load_checkpoint(resume_from, dtype)
+        if from_canonical is not None:
+            state0 = from_canonical(state0)
+        state = state0
         log.info("Resumed from %s at t=%s (step %d)", resume_from, t_sim0, int(state.t))
-    step = build_step(model, grid, ctx, dtype)
     num_ts = model.num_ts
     output_int = max(1, min(model.output_int, num_ts))
     chunk = _pick_chunk(output_int)
@@ -230,8 +285,13 @@ def _run(model: ModelParameters, dtype, write_outputs, resume_from=None):
         num_ts,
     )
 
+    def canonical(st):
+        if to_canonical is None:
+            return st
+        return st._replace(spec=to_canonical(st.spec))
+
     def fetch_phys(st):
-        return np.asarray(grid.synthesis(st.spec)["val"])
+        return np.asarray(grid.synthesis(canonical(st).spec)["val"])
 
     ckpt_interval = ctx.options.get("checkpoint_interval", 0.0)
     ckpt_int = int(round(ckpt_interval / model.ts)) if ckpt_interval else 0
@@ -261,7 +321,7 @@ def _run(model: ModelParameters, dtype, write_outputs, resume_from=None):
             path = os.path.join(
                 model.output_dir, f"checkpoint_{round(t_sim, 2)}.npz"
             )
-            sio.save_checkpoint(path, state, t_sim)
+            sio.save_checkpoint(path, canonical(state), t_sim)
             log.info("checkpoint: %s", path)
         log.info("ts: %s", t_sim)
     wall = _time.time() - t_run

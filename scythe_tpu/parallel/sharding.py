@@ -278,47 +278,51 @@ def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh, method="psum")
     return step
 
 
-def integrate_sharded(model, n_devices: int, dtype=None, method="psum"):
-    """Sharded analog of model.integrate_model: same output cadence and
-    watchdog, radial dimension split over ``n_devices``."""
-    import numpy as np
-
-    from .. import io as sio
-    from ..model import _pick_chunk, default_dtype, make_scan
+def integrate_sharded(
+    model,
+    n_devices: int,
+    dtype=None,
+    method="psum",
+    write_outputs=True,
+    resume_from: str | None = None,
+    profile_dir: str | None = None,
+):
+    """Sharded analog of model.integrate_model with full driver parity:
+    same output cadence, watchdog, scythe_out.log, binary checkpoints,
+    bitwise resume, and profiler trace — radial dimension split over
+    ``n_devices`` using the selected analysis ``method``."""
+    from ..model import default_dtype, logged_run, run_loop
 
     dtype = dtype or default_dtype()
     mesh = make_mesh(n_devices)
-    grid, ctx, state = initialize_sharded(model, mesh, dtype, method)
-    step = build_sharded_step(model, grid, ctx, dtype, mesh, method)
-    num_ts = model.num_ts
-    output_int = max(1, min(model.output_int, num_ts))
-    chunk = _pick_chunk(output_int)
-    scan = make_scan(step, chunk)
-    cl = grid.params.num_cells // mesh.shape[AXIS]
-
-    def fetch_phys(st):
-        spec = st.spec
+    n = mesh.shape[AXIS]
+    with logged_run(model, profile_dir):
+        grid, ctx, state = initialize_sharded(model, mesh, dtype, method)
+        step = build_sharded_step(model, grid, ctx, dtype, mesh, method)
+        cl = grid.params.num_cells // n
+        to_canonical = None
+        from_canonical = None
         if method == "halo":
-            spec = blocks_to_spec(spec, mesh.shape[AXIS], cl)
-        return np.asarray(grid.synthesis(spec)["val"])
+            to_canonical = lambda spec: blocks_to_spec(spec, n, cl)
 
-    phys = fetch_phys(state)
-    sio.check_cfl(grid, phys)
-    sio.write_output(grid, model, 0.0, phys)
-    done = 0
-    while done < num_ts:
-        n = min(output_int, num_ts - done)
-        if n % chunk == 0:
-            for _ in range(n // chunk):
-                state = scan(state)
+            def from_canonical(st):
+                st = st._replace(spec=spec_to_blocks(st.spec, n, cl))
+                return shard_state(st, mesh, method)
+
         else:
-            state = make_scan(step, n)(state)
-        done += n
-        phys = fetch_phys(state)
-        sio.check_cfl(grid, phys)
-        sio.write_output(grid, model, done * model.ts, phys)
-        print(f"ts: {done * model.ts}", flush=True)
-    return grid, phys
+            from_canonical = lambda st: shard_state(st, mesh, method)
+        return run_loop(
+            model,
+            grid,
+            ctx,
+            state,
+            step,
+            dtype,
+            write_outputs=write_outputs,
+            resume_from=resume_from,
+            to_canonical=to_canonical,
+            from_canonical=from_canonical,
+        )
 
 
 def initialize_sharded(model, mesh: Mesh, dtype=None, method="psum"):

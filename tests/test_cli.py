@@ -51,8 +51,9 @@ model = ModelParameters(
 
 
 @pytest.mark.parametrize("devices", [1, 4])
-def test_cli_run(tmp_path, devices):
-    cfg = _write_config(tmp_path, devices_note=str(devices))
+def test_cli_run(tmp_path, devices, extra=(), note=None):
+    note = str(devices) if note is None else note
+    cfg = _write_config(tmp_path, devices_note=note)
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
@@ -68,6 +69,7 @@ def test_cli_run(tmp_path, devices):
             "f64",
             "-d",
             str(devices),
+            *extra,
             str(cfg),
         ],
         env=env,
@@ -76,7 +78,7 @@ def test_cli_run(tmp_path, devices):
         cwd=REPO,
     )
     assert res.returncode == 0, res.stderr[-800:]
-    out = tmp_path / f"out{devices}" / "physical_out_10.0.csv"
+    out = tmp_path / f"out{note}" / "physical_out_10.0.csv"
     assert out.exists()
     data = np.loadtxt(out, delimiter=",", skiprows=1)
     assert np.isfinite(data).all()
@@ -85,6 +87,11 @@ def test_cli_run(tmp_path, devices):
 def test_cli_runs_agree_across_device_counts(tmp_path):
     test_cli_run(tmp_path, 1)
     test_cli_run(tmp_path, 4)
+    test_cli_run(tmp_path, 4, extra=["--shard-method", "halo"], note="4halo")
     a = np.loadtxt(tmp_path / "out1" / "physical_out_10.0.csv", delimiter=",", skiprows=1)
     b = np.loadtxt(tmp_path / "out4" / "physical_out_10.0.csv", delimiter=",", skiprows=1)
+    c = np.loadtxt(
+        tmp_path / "out4halo" / "physical_out_10.0.csv", delimiter=",", skiprows=1
+    )
     np.testing.assert_allclose(a, b, atol=1e-12)
+    np.testing.assert_allclose(a, c, atol=1e-12)

@@ -61,6 +61,31 @@ def test_resume_matches_continuous(tmp_path):
     assert os.path.exists(os.path.join(second.output_dir, "physical_out_20.0.csv"))
 
 
+@pytest.mark.parametrize("method", ["psum", "halo"])
+def test_sharded_resume_matches_continuous(tmp_path, method):
+    """Driver parity: a 4-shard run checkpointed and resumed (on either
+    sharded-analysis path) continues the single-device trajectory exactly;
+    checkpoints are layout-canonical so paths/devices interchange freely."""
+    from scythe_tpu.parallel.sharding import integrate_sharded
+
+    full = _model(tmp_path, 20.0, f"full_{method}")
+    grid, phys_full = integrate_model(full, write_outputs=False)
+
+    first = _model(
+        tmp_path, 10.0, f"first_{method}", options={"checkpoint_interval": 10.0}
+    )
+    integrate_sharded(first, 4, method=method)
+    ckpt = os.path.join(first.output_dir, "checkpoint_10.0.npz")
+    assert os.path.exists(ckpt)
+    assert os.path.exists(os.path.join(first.output_dir, "scythe_out.log"))
+
+    second = _model(tmp_path, 10.0, f"second_{method}")
+    grid2, phys_resumed = integrate_sharded(
+        second, 4, method=method, resume_from=ckpt
+    )
+    np.testing.assert_allclose(phys_resumed, phys_full, rtol=0, atol=1e-13)
+
+
 def test_csv_restart_is_reference_compatible(tmp_path):
     """The reference's restart path: feed a physical_out CSV back in as
     initial conditions.  Approximate (multistep history is lost) but the
