@@ -18,12 +18,18 @@ __all__ = ["BC", "ZBC", "GridParameters", "ModelParameters"]
 
 
 def _normalize_bc(bc, varnames, default):
-    """Accept a single BC or a {var: BC} mapping; return a tuple aligned
-    with the ordered variable list (hashable for jit-static use)."""
+    """Accept a single BC, a {var: BC} mapping, or an already-normalized
+    tuple (so dataclasses.replace re-runs __post_init__ cleanly); return a
+    tuple aligned with the ordered variable list (hashable for
+    jit-static use)."""
     if bc is None:
         return tuple(default for _ in varnames)
     if isinstance(bc, (BC, ZBC)):
         return tuple(bc for _ in varnames)
+    if isinstance(bc, (tuple, list)):
+        if len(bc) != len(varnames):
+            raise ValueError(f"BC tuple length {len(bc)} != {len(varnames)} vars")
+        return tuple(bc)
     return tuple(bc.get(name, default) for name in varnames)
 
 

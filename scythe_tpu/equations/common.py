@@ -51,6 +51,19 @@ class EqContext:
             return self.params[key]
         return self.params.get(key, default)
 
+    def dmudq_source(self, mu, q):
+        """q->mu source-term Jacobian.  Default: the clamped stability
+        guard (physics/thermodynamics.dmudq_source).  With
+        ``options['reference_quirks']`` set, the reference's raw Jacobian
+        is used instead (microphysics.jl; testModels.jl:363) so parity
+        runs compare like-for-like — at the cost of the documented
+        mu<0 blow-up mode (PARITY.md quirk table)."""
+        from ..physics import thermodynamics as td
+
+        if self.options.get("reference_quirks"):
+            return td.dmudq(mu, q)
+        return td.dmudq_source(mu, q)
+
 
 @dataclass
 class EqResult:

@@ -233,7 +233,7 @@ def BF02_test(fields, ctx: EqContext) -> EqResult:
     exp[5] = (
         (-u * dx[5])
         + (-w * (dz[5] + rs.mu_lbar[None, :, 1]))
-        + q_cond * td.dmudq_source(mu_l, q_l)
+        + q_cond * ctx.dmudq_source(mu_l, q_l)
         + K * (dxx[5] + dzz[5])
     )
     exp[6] = (-u * dx[6]) + (-w * dz[6]) + qss_cond
@@ -314,13 +314,13 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     exp[5] = (
         (-u * dx[5])
         + (-w * dz[5])
-        + td.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll)
+        + ctx.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll)
         + K * (dxx[5] + dzz[5])
     )
     exp[6] = (
         (-u * dx[6])
         + (-w * dz[6])
-        + td.dmudq_source(mu_r, q_r) * (q_auto + q_coll - q_evap - Vt_flux)
+        + ctx.dmudq_source(mu_r, q_r) * (q_auto + q_coll - q_evap - Vt_flux)
         + K * (dxx[6] + dzz[6])
     )
     exp[7] = (-u * dx[7]) + (-w * dz[7]) + qss_cond
@@ -436,8 +436,8 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
         adv(5) + ((-td.GRAVITY * rho_p) - dpdz) / rho_t + lap(5)
     )
     imp[5] = -(rs.Pxi_bar * dz[1])
-    exp[6] = adv(6) + td.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll) + lap(6)
-    exp[7] = adv(7) + td.dmudq_source(mu_r, q_r) * (
+    exp[6] = adv(6) + ctx.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll) + lap(6)
+    exp[7] = adv(7) + ctx.dmudq_source(mu_r, q_r) * (
         q_auto + q_coll - q_evap - Vt_flux
     ) + lap(7)
     exp[8] = adv(8) + qss_cond

@@ -30,6 +30,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dot(a, b):
+    """a [tile, k] @ b[z, k]^T -> [tile, z] with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _kernel(
     xstar_ref,
     wstar_ref,
@@ -46,37 +53,92 @@ def _kernel(
     pxi = scal_ref[1]
     x = xstar_ref[:]  # [tile, nz]
     w = wstar_ref[:]
-    xf = jax.lax.dot_general(
-        x, f_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    xz = jax.lax.dot_general(
-        x, dz_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    xf = _dot(x, f_ref[:])
+    xz = _dot(x, dz_ref[:])
     g = ts_term * pxi * xz - w
     # BC row shuffle: g -> [0, 0, g[1:nz-1]]
-    nz = g.shape[1]
     rolled = pltpu.roll(g, 1, 1)  # rolled[:, j] = g[:, j-1]
     col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
     g = jnp.where(col < 2, 0.0, rolled)
-    a = jax.lax.dot_general(
-        g, hinv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    w_out_ref[:] = jax.lax.dot_general(
-        a, s_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    xi_out_ref[:] = xf - ts_term * jax.lax.dot_general(
-        a, ds_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    a = _dot(g, hinv_ref[:])
+    w_out_ref[:] = _dot(a, s_ref[:])
+    xi_out_ref[:] = xf - ts_term * _dot(a, ds_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _mm3(x, oh_ref, ol_ref):
+    """Compensated bf16_3x operator application inside the kernel: the MXU
+    multiplies in bf16, so x and each operator O are split into bf16
+    hi/lo parts and O_hi x_hi + O_lo x_hi + O_hi x_lo is accumulated in
+    f32 (same scheme as Grid._mm; docs/NUMERICS.md)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _dot(xh, oh_ref[:]) + _dot(xh, ol_ref[:]) + _dot(xl, oh_ref[:])
+
+
+def _kernel_comp(
+    xstar_ref,
+    wstar_ref,
+    f_h,
+    f_l,
+    dz_h,
+    dz_l,
+    hinv_h,
+    hinv_l,
+    s_h,
+    s_l,
+    ds_h,
+    ds_l,
+    scal_ref,
+    w_out_ref,
+    xi_out_ref,
+):
+    ts_term = scal_ref[0]
+    pxi = scal_ref[1]
+    x = xstar_ref[:]
+    w = wstar_ref[:]
+    xf = _mm3(x, f_h, f_l)
+    xz = _mm3(x, dz_h, dz_l)
+    g = ts_term * pxi * xz - w
+    rolled = pltpu.roll(g, 1, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    g = jnp.where(col < 2, 0.0, rolled)
+    a = _mm3(g, hinv_h, hinv_l)
+    w_out_ref[:] = _mm3(a, s_h, s_l)
+    xi_out_ref[:] = xf - ts_term * _mm3(a, ds_h, ds_l)
+
+
+def _split(op):
+    """bf16 (hi, lo) split of an operator matrix."""
+    o32 = op.astype(jnp.float32)
+    hi = o32.astype(jnp.bfloat16)
+    lo = (o32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "mode"))
 def fused_column_solve(
-    xstar, wstar, F, Dz, Hinv, S, Ds, ts_term, pxi_bar, interpret=False, tile=256
+    xstar,
+    wstar,
+    F,
+    Dz,
+    Hinv,
+    S,
+    Ds,
+    ts_term,
+    pxi_bar,
+    interpret=False,
+    tile=256,
+    mode="comp",
 ):
     """Apply the fused chain to [ncols, nz] column batches.
 
     ``Hinv`` must already be the inverse of the bc-row-shuffled Helmholtz
     matrix (timeintegration.helmholtz_matrix).  Returns (w_new, xi_new).
+
+    ``mode``: "comp" (default) runs every dot as compensated bf16_3x —
+    f32-grade accuracy at MXU rate (docs/NUMERICS.md); "plain" runs f32
+    dots, which Mosaic rounds to bf16 on TPU (~1e-3 relative error;
+    useful only for comparison).
     """
     ncols, nz = xstar.shape
     tile = min(tile, ncols)
@@ -91,33 +153,40 @@ def fused_column_solve(
     grid = (n // tile,)
     col_spec = pl.BlockSpec((tile, nz), lambda i: (i, 0), memory_space=pltpu.VMEM)
     op_spec = pl.BlockSpec((nz, nz), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    w_new, xi_new = pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=[
-            col_spec,
-            col_spec,
-            op_spec,
-            op_spec,
-            op_spec,
-            op_spec,
-            op_spec,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(col_spec, col_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, nz), jnp.float32),
-            jax.ShapeDtypeStruct((n, nz), jnp.float32),
-        ),
-        interpret=interpret,
-    )(
-        xstar.astype(jnp.float32),
-        wstar.astype(jnp.float32),
-        F.astype(jnp.float32),
-        Dz.astype(jnp.float32),
-        Hinv.astype(jnp.float32),
-        S.astype(jnp.float32),
-        Ds.astype(jnp.float32),
-        scal,
+    out_specs = (col_spec, col_spec)
+    out_shape = (
+        jax.ShapeDtypeStruct((n, nz), jnp.float32),
+        jax.ShapeDtypeStruct((n, nz), jnp.float32),
     )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cols = (xstar.astype(jnp.float32), wstar.astype(jnp.float32))
+    if mode == "comp":
+        ops = []
+        for o in (F, Dz, Hinv, S, Ds):
+            ops.extend(_split(o))
+        w_new, xi_new = pl.pallas_call(
+            _kernel_comp,
+            grid=grid,
+            in_specs=[col_spec, col_spec] + [op_spec] * 10 + [smem],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*cols, *ops, scal)
+    else:
+        w_new, xi_new = pl.pallas_call(
+            _kernel,
+            grid=grid,
+            in_specs=[col_spec, col_spec] + [op_spec] * 5 + [smem],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            *cols,
+            F.astype(jnp.float32),
+            Dz.astype(jnp.float32),
+            Hinv.astype(jnp.float32),
+            S.astype(jnp.float32),
+            Ds.astype(jnp.float32),
+            scal,
+        )
     return w_new[:ncols], xi_new[:ncols]

@@ -194,7 +194,7 @@ def condensation_adjustment(var_np1, impdot_n, ctx):
     q_cond = jnp.minimum(q_v, q_cond)
     q_cond = jnp.maximum(-q_c, q_cond)  # restrict to condensate, not rain
     mu_new = mu - tau_r * td.dmudq(mu_total, q_v) * q_cond
-    mu_c_new = mu_c + tau_r * td.dmudq_source(mu_c, q_c) * q_cond
+    mu_c_new = mu_c + tau_r * ctx.dmudq_source(mu_c, q_c) * q_cond
     s_new = s + tau_r * s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
 
     out = var_np1
