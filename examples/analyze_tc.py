@@ -50,17 +50,18 @@ def main():
 
     grid = create_grid(gp, jnp.float64)
     files = sorted(
-        glob.glob(os.path.join(args.run_dir, "physical_out_*.csv")),
-        key=lambda p: float(re.search(r"physical_out_(.*)\.csv", p).group(1)),
+        glob.glob(os.path.join(args.run_dir, "physical_out_*.csv"))
+        + glob.glob(os.path.join(args.run_dir, "physical_out_*.nc")),
+        key=lambda p: float(re.search(r"physical_out_(.*)\.(?:csv|nc)", p).group(1)),
     )
     if not files:
-        sys.exit(f"no physical_out_*.csv in {args.run_dir}")
+        sys.exit(f"no physical_out_*.csv or .nc in {args.run_dir}")
 
     vi = gp.var_index
     r1d = grid.r_mish
     print(f"{'t[s]':>10} {'Vmax(free)':>11} {'Vmax(BL)':>9} {'h_min':>8} {'RMW[km]':>8}")
     for path in files:
-        t = float(re.search(r"physical_out_(.*)\.csv", path).group(1))
+        t = float(re.search(r"physical_out_(.*)\.(?:csv|nc)", path).group(1))
         phys = sio.read_physical_grid(path, grid)
         v = phys[vi("v")]
         vb = phys[vi("vb")]

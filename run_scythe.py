@@ -50,6 +50,12 @@ def parse_args(argv=None):
         "meshes) or halo (Schur solve, O(halo) comms, scalable)",
     )
     p.add_argument(
+        "--format",
+        choices=["csv", "nc"],
+        default=None,
+        help="output format: reference-schema CSV (default) or CF NetCDF",
+    )
+    p.add_argument(
         "--resume-from", default=None, help="binary checkpoint .npz to resume from"
     )
     p.add_argument(
@@ -84,6 +90,8 @@ def main(argv=None):
     if "model" not in ns:
         sys.exit(f"{args.model} must define a `model = ModelParameters(...)`")
     model = ns["model"]
+    if args.format:
+        model = model.with_(options={**model.opts(), "output_format": args.format})
 
     print(
         f"Initializing {model.equation_set} on {len(jax.devices())} "

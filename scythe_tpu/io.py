@@ -49,7 +49,10 @@ _COORD_NAMES = {"R": ["r"], "RL": ["r", "l"], "RZ": ["r", "z"], "RLZ": ["r", "l"
 
 
 def read_physical_grid(path: str, grid) -> np.ndarray:
-    """IC CSV -> [nvars, *spatial] float64 (ref read_physical_grid)."""
+    """IC CSV (or .nc) -> [nvars, *spatial] float64 (ref
+    read_physical_grid)."""
+    if path.endswith(".nc"):
+        return read_physical_grid_nc(path, grid)
     names, data = _read_csv(path)
     p = grid.params
     npts = grid.num_points
@@ -66,7 +69,11 @@ def read_physical_grid(path: str, grid) -> np.ndarray:
 
 
 def write_output(grid, model, t: float, phys: np.ndarray) -> str:
-    """Write ``physical_out_<t>.csv`` (ref write_output, src/io.jl:3-13)."""
+    """Write ``physical_out_<t>.csv`` (ref write_output, src/io.jl:3-13),
+    or CF NetCDF when ``options['output_format'] == 'nc'`` (the reference
+    README names NetCDF as its own planned output path)."""
+    if model.opts().get("output_format") == "nc":
+        return write_output_nc(grid, model, t, phys)
     os.makedirs(model.output_dir, exist_ok=True)
     time = str(round(float(t), 2))
     path = os.path.join(model.output_dir, f"physical_out_{time}.csv")
@@ -78,6 +85,72 @@ def write_output(grid, model, t: float, phys: np.ndarray) -> str:
     )
     _write_csv(path, names, cols)
     return path
+
+
+_CF_COORDS = {
+    "r": ("radius", "m"),
+    "l": ("azimuth", "radian"),
+    "z": ("height", "m"),
+}
+
+
+def _grid_coords(grid) -> dict[str, np.ndarray]:
+    from .basis import fourier
+
+    out = {"r": np.asarray(grid.r_mish, np.float64)}
+    if "l" in _COORD_NAMES[grid.geometry]:
+        out["l"] = fourier.angles(grid.nl)
+    if "z" in _COORD_NAMES[grid.geometry]:
+        out["z"] = np.asarray(grid.z_mish, np.float64)
+    return out
+
+
+def write_output_nc(grid, model, t: float, phys: np.ndarray) -> str:
+    """CF-style NetCDF (classic format via scipy, no extra deps):
+    coordinate variables with units + one [r(,l)(,z)] variable per model
+    field + global metadata.  One file per output time, mirroring the CSV
+    naming so restart tooling treats both formats alike."""
+    from scipy.io import netcdf_file
+
+    os.makedirs(model.output_dir, exist_ok=True)
+    time = str(round(float(t), 2))
+    path = os.path.join(model.output_dir, f"physical_out_{time}.nc")
+    dims = _COORD_NAMES[grid.geometry]
+    coords = _grid_coords(grid)
+    with netcdf_file(path, "w") as f:
+        f.title = f"scythe-tpu {model.equation_set} output"
+        f.equation_set = model.equation_set
+        f.geometry = grid.geometry
+        f.time_seconds = float(t)
+        for d in dims:
+            f.createDimension(d, len(coords[d]))
+            cv = f.createVariable(d, "d", (d,))
+            cv[:] = coords[d]
+            cv.long_name, cv.units = _CF_COORDS[d]
+        for v, name in enumerate(grid.params.vars):
+            var = f.createVariable(name, "d", tuple(dims))
+            var[:] = np.asarray(phys[v], np.float64)
+    return path
+
+
+def read_physical_grid_nc(path: str, grid) -> np.ndarray:
+    """NetCDF counterpart of ``read_physical_grid`` (ICs or restart)."""
+    from scipy.io import netcdf_file
+
+    p = grid.params
+    out = np.zeros((p.nvars,) + grid.spatial_shape)
+    with netcdf_file(path, "r", mmap=False) as f:
+        for v, name in enumerate(p.vars):
+            if name not in f.variables:
+                raise ValueError(f"NetCDF file missing variable {name!r}")
+            data = np.asarray(f.variables[name][:], np.float64)
+            if data.shape != grid.spatial_shape:
+                raise ValueError(
+                    f"{path}:{name} has shape {data.shape}; grid needs "
+                    f"{grid.spatial_shape}"
+                )
+            out[v] = data
+    return out
 
 
 def save_checkpoint(path: str, state, t_sim: float) -> None:

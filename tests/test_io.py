@@ -65,3 +65,67 @@ def test_checkpoint_roundtrip(tmp_path):
     assert t_sim == 21.0
     assert int(state2.t) == 7
     np.testing.assert_array_equal(np.asarray(state2.spec), np.asarray(state.spec))
+
+
+def test_netcdf_output_roundtrip(tmp_path):
+    """--format nc: CF NetCDF output carries coordinates + all variables
+    and reads back as initial conditions exactly (VERDICT missing #5)."""
+    import jax.numpy as jnp
+
+    from scythe_tpu import BC, GridParameters, ModelParameters, create_grid
+
+    gp = GridParameters(
+        geometry="RL",
+        xmin=0.0,
+        xmax=1.0e5,
+        num_cells=8,
+        lDim=16,
+        BCL={"h": BC.R1T1, "u": BC.R1T0},
+        BCR={"h": BC.R0, "u": BC.R0},
+        vars={"h": 1, "u": 2},
+    )
+    model = ModelParameters(
+        ts=1.0,
+        integration_time=1.0,
+        output_interval=1.0,
+        equation_set="LinearAdvectionRL",
+        initial_conditions="unused.csv",
+        output_dir=str(tmp_path),
+        grid_params=gp,
+        options={"output_format": "nc"},
+    )
+    grid = create_grid(gp, jnp.float64)
+    rng = np.random.default_rng(0)
+    phys = rng.normal(size=(2,) + grid.spatial_shape)
+    path = sio.write_output(grid, model, 42.0, phys)
+    assert path.endswith("physical_out_42.0.nc")
+
+    from scipy.io import netcdf_file
+
+    with netcdf_file(path, "r", mmap=False) as f:
+        assert f.geometry.decode() == "RL"
+        assert float(f.time_seconds) == 42.0
+        np.testing.assert_allclose(f.variables["r"][:], grid.r_mish)
+        assert f.variables["r"].units == b"m"
+        assert f.variables["h"].shape == grid.spatial_shape
+
+    back = sio.read_physical_grid(path, grid)
+    np.testing.assert_array_equal(back, phys)
+
+
+def test_netcdf_missing_variable_errors(tmp_path):
+    import jax.numpy as jnp
+
+    from scythe_tpu import BC, GridParameters, create_grid
+    from scipy.io import netcdf_file
+
+    gp = GridParameters(
+        geometry="R", xmin=0.0, xmax=1.0, num_cells=4,
+        BCL={"u": BC.R0}, BCR={"u": BC.R0}, vars={"u": 1},
+    )
+    grid = create_grid(gp, jnp.float64)
+    path = str(tmp_path / "bad.nc")
+    with netcdf_file(path, "w") as f:
+        f.createDimension("r", 12)
+    with pytest.raises(ValueError, match="missing variable"):
+        sio.read_physical_grid(path, grid)
