@@ -17,6 +17,7 @@ shared-memory; README.md:7).  vs_baseline = accel_gps / cpu_f64_gps.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -141,8 +142,13 @@ def rlz_transform_bench(device, dtype, reps=20):
 
 
 def scaling_bench(n_steps=20):
-    """Weak-ish scaling over however many devices are visible (virtual CPU
-    mesh in this container; real ICI mesh on a pod)."""
+    """Weak scaling over however many devices are visible (virtual CPU
+    mesh in this container; real ICI mesh on a pod).  Uses the scalable
+    halo/Schur sharded path for n >= 2.
+
+    NB on virtual devices: n virtual CPU devices share this container's 4
+    physical cores, so the compute ceiling itself is 4/n for n > 4 — the
+    numbers bound framework/comm overhead, not ICI scaling."""
     import jax
     import jax.numpy as jnp
 
@@ -156,12 +162,18 @@ def scaling_bench(n_steps=20):
     for n in [1, 2, 4, 8]:
         if n > ndev:
             break
-        model = _flagship_model(num_cells=12 * n, nl=64)
+        model = _flagship_model(num_cells=24 * n, nl=128)
         mesh = sh.make_mesh(n)
         grid = create_grid(model.grid_params, jnp.float32)
         ctx = build_context(model, grid, jnp.float32)
-        state = sh.shard_state(_vortex_state(grid, jnp.float32), mesh)
-        step = sh.build_sharded_step(model, grid, ctx, jnp.float32, mesh)
+        method = "halo" if n >= 2 else "psum"
+        state = _vortex_state(grid, jnp.float32)
+        if method == "halo":
+            state = state._replace(
+                spec=sh.spec_to_blocks(state.spec, n, model.grid_params.num_cells // n)
+            )
+        state = sh.shard_state(state, mesh, method)
+        step = sh.build_sharded_step(model, grid, ctx, jnp.float32, mesh, method)
         scan = make_scan(step, n_steps)
         state = jax.block_until_ready(scan(state))
         t0 = time.time()
@@ -169,8 +181,14 @@ def scaling_bench(n_steps=20):
         dt = time.time() - t0
         results[n] = grid.num_points * n_steps / dt
     base = results[1]
+    cores = os.cpu_count() or 4
     return {
-        n: dict(gps=v, weak_scaling_eff=v / (n * base)) for n, v in results.items()
+        n: dict(
+            gps=v,
+            weak_scaling_eff=v / (n * base),
+            core_bound=min(1.0, cores / n),
+        )
+        for n, v in results.items()
     }
 
 
@@ -244,7 +262,15 @@ def main():
     if "--scaling-only" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
         res = scaling_bench()
-        print(json.dumps({str(n): v["weak_scaling_eff"] for n, v in res.items()}))
+        print(
+            json.dumps(
+                {
+                    str(n): round(v["weak_scaling_eff"], 3)
+                    for n, v in res.items()
+                }
+                | {"note": "virtual devices share 4 cores; ceiling=min(1,4/n)"}
+            )
+        )
         return
 
     _enable_compile_cache()
@@ -285,7 +311,7 @@ def main():
         ),
     }
     if scaling:
-        extra["weak_scaling_eff_cpu8"] = {k: round(v, 3) for k, v in scaling.items()}
+        extra["weak_scaling_eff_cpu8"] = scaling
     print(
         json.dumps(
             {
