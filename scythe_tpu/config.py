@@ -61,6 +61,7 @@ class GridParameters:
     BCL: Any = None
     BCR: Any = None
     lDim: int = 0  # uniform azimuthal points (0 = auto)
+    l_factored: Any = None  # radix-split azimuthal DFT (None = auto: nl>=512)
     zmin: float = 0.0
     zmax: float = 0.0
     zDim: int = 0

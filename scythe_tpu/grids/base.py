@@ -75,10 +75,12 @@ class Grid:
     synth_r_val: jnp.ndarray | None = None  # [rDim, nb] value row only
     # azimuthal (real-DFT; spectral state holds lambda coefficients)
     nl: int = 0
-    ring_mask: jnp.ndarray | None = None  # [rDim, nl] over real coeff slots
+    kDim: int = 0  # azimuthal spectral slots (nl dense; fd.K factored)
+    ring_mask: jnp.ndarray | None = None  # [rDim, kDim] over coeff slots
     l_analysis: jnp.ndarray | None = None  # [nl, nl] values -> coeffs
     l_synth: jnp.ndarray | None = None  # [nl, nl] coeffs -> values
     l_all: jnp.ndarray | None = None  # [3, nl, nl] coeffs -> (val, dl, dll)
+    l_fact: Any = None  # fourier_factored.FactOps (radix-split mode)
     # vertical
     z_mish: np.ndarray | None = None  # [nz]
     analysis_z: jnp.ndarray | None = None  # [nvars, nz, nz] (constrain @ dct)
@@ -134,10 +136,10 @@ class Grid:
         if p.geometry == "R":
             return (p.nvars, p.b_rDim)
         if p.geometry == "RL":
-            return (p.nvars, p.b_rDim, self.nl)
+            return (p.nvars, p.b_rDim, self.kDim)
         if p.geometry == "RZ":
             return (p.nvars, p.b_rDim, p.zDim)
-        return (p.nvars, p.b_rDim, self.nl, p.zDim)
+        return (p.nvars, p.b_rDim, self.kDim, p.zDim)
 
     @property
     def num_points(self) -> int:
@@ -191,10 +193,18 @@ class Grid:
     def _l_coeffs(self, phys: jnp.ndarray) -> jnp.ndarray:
         """values -> masked real Fourier coefficients along the lambda axis
         (axis 2 of [nvars, rDim, nl, ...])."""
+        from ..basis import fourier_factored as ff
+
         if phys.ndim == 3:
-            hat = self._mm("kl,vrl->vrk", self.l_analysis, phys)
+            if self.l_fact is not None:
+                hat = ff.analysis_mm(self.l_fact, self._mm, phys, with_z=False)
+            else:
+                hat = self._mm("kl,vrl->vrk", self.l_analysis, phys)
             return hat * self.ring_mask[None, :, :]
-        hat = self._mm("kl,vrlz->vrkz", self.l_analysis, phys)
+        if self.l_fact is not None:
+            hat = ff.analysis_mm(self.l_fact, self._mm, phys, with_z=True)
+        else:
+            hat = self._mm("kl,vrlz->vrkz", self.l_analysis, phys)
         return hat * self.ring_mask[None, :, :, None]
 
     def _analysis_with(self, radial_op, radial_subs: str, phys: jnp.ndarray):
@@ -251,7 +261,12 @@ class Grid:
             out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
             return out
         if g == "RL":
-            lc = self._mm("dlk,vbk->vdbl", self.l_all, spec)
+            if self.l_fact is not None:
+                from ..basis import fourier_factored as ff
+
+                lc = ff.synthesis_mm(self.l_fact, self._mm, spec, (0, 1, 2), False)
+            else:
+                lc = self._mm("dlk,vbk->vdbl", self.l_all, spec)
             r3 = self._mm("drb,vbl->vdrl", self.synth_r, lc[:, 0])
             rd = self._mm("rb,vdbl->vdrl", self.synth_r_val, lc[:, 1:])
             out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
@@ -265,8 +280,17 @@ class Grid:
             out["dz"], out["dzz"] = rd[:, 0], rd[:, 1]
             return out
         zc = self._mm("dzK,vbkK->vdbkz", self.z_all, spec)
-        lv = self._mm("dlk,vbkz->vdblz", self.l_all, zc[:, 0])
-        lz = self._mm("lk,vdbkz->vdblz", self.l_synth, zc[:, 1:])
+        if self.l_fact is not None:
+            from ..basis import fourier_factored as ff
+
+            lv = ff.synthesis_mm(self.l_fact, self._mm, zc[:, 0], (0, 1, 2), True)
+            nv = zc.shape[0]
+            zd = zc[:, 1:].reshape((nv * 2,) + zc.shape[2:])
+            lz = ff.synthesis_mm(self.l_fact, self._mm, zd, (0,), True)
+            lz = lz.reshape((nv, 2) + lz.shape[2:])
+        else:
+            lv = self._mm("dlk,vbkz->vdblz", self.l_all, zc[:, 0])
+            lz = self._mm("lk,vdbkz->vdblz", self.l_synth, zc[:, 1:])
         r3 = self._mm("drb,vblz->vdrlz", self.synth_r, lv[:, 0])
         rl = self._mm("rb,vdblz->vdrlz", self.synth_r_val, lv[:, 1:])
         rz = self._mm("rb,vdblz->vdrlz", self.synth_r_val, lz)
@@ -336,16 +360,28 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
 
     # --- azimuthal ------------------------------------------------------
     if p.geometry in ("RL", "RLZ"):
+        from ..basis import fourier_factored as ff
+
         nl = fourier.default_nl(p.num_cells, p.lDim)
         dr = (p.xmax - p.xmin) / p.num_cells
         grid.nl = nl
-        grid.ring_mask = jnp.asarray(
-            fourier.ring_coeff_mask(r_mish, dr, nl, p.l_q), dtype
-        )
-        la, ls, ld, ld2 = fourier.dft_matrices(nl)
-        grid.l_analysis = prep(la)
-        grid.l_synth = prep(ls)
-        grid.l_all = prep(np.stack([ls, ld, ld2]))
+        factored = getattr(p, "l_factored", None)
+        if factored is None:
+            factored = nl >= 512  # dense [nl,nl] GEMM cost O(nl)/point
+        if factored:
+            fd = ff.FactoredDFT(nl)
+            grid.l_fact = ff.FactOps(fd, prep, dtype, jnp)
+            grid.kDim = fd.K
+            grid.ring_mask = jnp.asarray(fd.ring_mask(r_mish, dr, p.l_q), dtype)
+        else:
+            grid.kDim = nl
+            grid.ring_mask = jnp.asarray(
+                fourier.ring_coeff_mask(r_mish, dr, nl, p.l_q), dtype
+            )
+            la, ls, ld, ld2 = fourier.dft_matrices(nl)
+            grid.l_analysis = prep(la)
+            grid.l_synth = prep(ls)
+            grid.l_all = prep(np.stack([ls, ld, ld2]))
 
     # --- vertical -------------------------------------------------------
     if p.geometry in ("RZ", "RLZ"):

@@ -1,0 +1,125 @@
+"""Radix-split azimuthal DFT: exactness vs the dense path at every level
+(operators, grid transforms, full model trajectories)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scythe_tpu import BC, GridParameters, create_grid
+from scythe_tpu.basis import fourier, fourier_factored as ff
+
+
+@pytest.mark.parametrize("nl", [16, 24, 64, 128])
+def test_factored_matches_dense_operators(nl):
+    fd = ff.FactoredDFT(nl)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, nl))
+    la, ls, ld, ld2 = fourier.dft_matrices(nl)
+    c = ff.analysis_np(fd, x)
+    assert np.abs(ff.synthesis_np(fd, c, 0) - x).max() < 1e-12
+    dense_d = (ld @ (la @ x.T)).T
+    assert np.abs(ff.synthesis_np(fd, c, 1) - dense_d).max() < 1e-10
+    dense_d2 = (ld2 @ (la @ x.T)).T
+    assert np.abs(ff.synthesis_np(fd, c, 2) - dense_d2).max() < 1e-8
+
+
+def test_factored_ring_mask_matches_dense_kmax():
+    """Same retained wavenumbers per ring as the dense mask."""
+    nl = 64
+    fd = ff.FactoredDFT(nl)
+    r = np.linspace(500.0, 3.0e5, 60)
+    dr = 3000.0
+    mf = fd.ring_mask(r, dr)
+    md = fourier.ring_coeff_mask(r, dr, nl)
+    kd = fourier.coeff_wavenumbers(nl)
+    for i in range(len(r)):
+        dense_keep = set(kd[md[i] > 0])
+        fact_keep = set(fd.k_of_slot[mf[i] > 0])
+        assert fact_keep == dense_keep, (i, fact_keep ^ dense_keep)
+
+
+def _grids(geometry, nl):
+    common = dict(
+        geometry=geometry,
+        xmin=0.0,
+        xmax=1.0e5,
+        num_cells=8,
+        lDim=nl,
+        BCL={"a": BC.R1T1, "b": BC.R1T0},
+        BCR={"a": BC.R0, "b": BC.R0},
+        vars={"a": 1, "b": 2},
+    )
+    if geometry == "RLZ":
+        common.update(zmin=0.0, zmax=1.0e4, zDim=8)
+    gd = create_grid(GridParameters(l_factored=False, **common), jnp.float64, "plain")
+    gf = create_grid(GridParameters(l_factored=True, **common), jnp.float64, "plain")
+    return gd, gf
+
+
+@pytest.mark.parametrize("geometry", ["RL", "RLZ"])
+def test_grid_transforms_match_dense(geometry):
+    gd, gf = _grids(geometry, 16)
+    rng = np.random.default_rng(1)
+    phys = jnp.asarray(rng.normal(size=(2,) + gd.spatial_shape))
+    fd = gd.synthesis(gd.analysis(phys))
+    ffld = gf.synthesis(gf.analysis(phys))
+    assert gf.spectral_shape[2] == gf.l_fact.fd.K
+    for key in gd.field_keys:
+        err = np.abs(np.asarray(fd[key]) - np.asarray(ffld[key])).max()
+        scale = np.abs(np.asarray(fd[key])).max() + 1e-30
+        assert err / scale < 1e-11, (key, err, scale)
+
+
+def test_trajectory_matches_dense(tmp_path):
+    """10 steps of the two-layer slab model: factored == dense to 1e-12."""
+    from scythe_tpu import ModelParameters
+    from scythe_tpu.model import build_context, build_step, initialize, make_scan
+
+    def build(factored):
+        gp = GridParameters(
+            geometry="RL",
+            xmin=0.0,
+            xmax=3.0e5,
+            num_cells=16,
+            lDim=16,
+            l_factored=factored,
+            BCL={"h": BC.R1T1, "u": BC.R1T0, "v": BC.R1T0,
+                 "ub": BC.R1T0, "vb": BC.R1T0, "wb": BC.R1T1},
+            BCR={"h": BC.R0, "u": BC.R1T1, "v": BC.R0,
+                 "ub": BC.R1T1, "vb": BC.R0, "wb": BC.R0},
+            vars={"h": 1, "u": 2, "v": 3, "ub": 4, "vb": 5, "wb": 6},
+        )
+        model = ModelParameters(
+            ts=3.0,
+            integration_time=30.0,
+            output_interval=30.0,
+            equation_set="Twoway_ShallowWater_Slab",
+            initial_conditions=str(tmp_path / "ics.csv"),
+            output_dir=str(tmp_path / "out"),
+            grid_params=gp,
+            physical_params={"g": 9.81, "K": 5000.0, "Cd": 2.4e-3,
+                             "Hfree": 2000.0, "Hb": 1000.0, "f": 5.0e-5,
+                             "S1": 1.0e-5},
+        )
+        return model
+
+    m = build(False)
+    grid = create_grid(m.grid_params, jnp.float64)
+    pts = grid.gridpoints()
+    r, lam = pts[:, 0], pts[:, 1]
+    v = np.where(r < 5e4, 20.0 * r / 5e4, 20.0 * 5e4 / r) * (
+        1.0 + 0.05 * np.cos(2 * lam)
+    )
+    with open(m.initial_conditions, "w") as f:
+        f.write("r,l,h,u,v,ub,vb,wb\n")
+        for i in range(len(r)):
+            f.write(f"{r[i]},{lam[i]},0.0,0.0,{v[i]},0.0,{0.8*v[i]},0.0\n")
+
+    outs = {}
+    for factored in (False, True):
+        model = build(factored)
+        grid, ctx, state = initialize(model)
+        step = build_step(model, grid, ctx, jnp.float64)
+        out = make_scan(step, 10)(state)
+        outs[factored] = np.asarray(grid.synthesis(out.spec)["val"])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-11, atol=1e-11)
