@@ -95,6 +95,23 @@ def build_step(
 
     ts = model.ts
 
+    # Optional Rayleigh sponge near the open outer boundary: relax the
+    # outer ``sponge_width`` meters toward the initial far-field state on
+    # timescale ``sponge_tau`` (cos^2 ramp).  Standard limited-area
+    # practice for TC domains; counters the outer-boundary wave pile-up /
+    # inflow-advection instability that otherwise terminates the marginal
+    # f32 flagship regime (docs/RESULTS.md round-2 analysis).  Off by
+    # default — the reference has no sponge.
+    sponge_sigma = None
+    sponge_ref = None
+    sp_w = float(opts.get("sponge_width", 0.0) or 0.0)
+    if sp_w > 0.0:
+        tau = float(opts.get("sponge_tau", 600.0))
+        r = ctx.coords["r"]
+        ramp = jnp.clip((r - (p.xmax - sp_w)) / sp_w, 0.0, 1.0)
+        sponge_sigma = (jnp.sin(0.5 * jnp.pi * ramp) ** 2 / tau).astype(dtype)
+        sponge_ref = ctx.extras.get("sponge_ref")
+
     def step(state: ti.ModelState) -> ti.ModelState:
         fields = synthesis_fn(state.spec)
         res = eqset(fields, ctx)
@@ -102,6 +119,9 @@ def build_step(
         for v, arr in res.overrides.items():
             phys = phys.at[v].set(arr)
         expdot = res.expdot
+        if sponge_sigma is not None:
+            ref = 0.0 if sponge_ref is None else sponge_ref
+            expdot = expdot - sponge_sigma[None] * (phys - ref)
         var_np1, e_nm1, e_nm2 = ti.explicit_step(
             phys, expdot, state.expdot_nm1, state.expdot_nm2, state.t, ts
         )
@@ -171,6 +191,10 @@ def initialize(model: ModelParameters, dtype=None):
     ctx = build_context(model, grid, dtype)
     phys0 = sio.read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
+    if float(ctx.options.get("sponge_width", 0.0) or 0.0) > 0.0:
+        # relax toward the filtered initial state (what the spline space
+        # actually represents), not the raw ICs
+        ctx.extras["sponge_ref"] = grid.synthesis(spec0)["val"]
     state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
     return grid, ctx, state
 

@@ -83,6 +83,17 @@ def _local_coords(coords: dict, idx, rows: int) -> dict:
     return out
 
 
+def _local_extras(extras: dict, idx, rows: int) -> dict:
+    """Slice radially-shaped auxiliary fields (e.g. the sponge reference
+    state [nvars, rDim, ...]) to this shard's rows."""
+    out = dict(extras)
+    if "sponge_ref" in out:
+        out["sponge_ref"] = jax.lax.dynamic_slice_in_dim(
+            out["sponge_ref"], idx * rows, rows, axis=1
+        )
+    return out
+
+
 def state_specs(method: str = "psum") -> ti.ModelState:
     """PartitionSpecs for a ModelState.  psum path: spectral replicated;
     halo path: spectral sharded along its (windowed) radial-coefficient
@@ -249,7 +260,10 @@ def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh, method="psum")
                 return grid.solve_spectral(jax.lax.psum(proj, AXIS))
 
         lctx = dataclasses.replace(
-            ctx, grid=lg, coords=_local_coords(ctx.coords, idx, rows)
+            ctx,
+            grid=lg,
+            coords=_local_coords(ctx.coords, idx, rows),
+            extras=_local_extras(ctx.extras, idx, rows),
         )
         step = build_step(
             model,
@@ -339,6 +353,8 @@ def initialize_sharded(model, mesh: Mesh, dtype=None, method="psum"):
     ctx = build_context(model, grid, dtype)
     phys0 = sio.read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
+    if float(ctx.options.get("sponge_width", 0.0) or 0.0) > 0.0:
+        ctx.extras["sponge_ref"] = grid.synthesis(spec0)["val"]
     if method == "halo":
         spec0 = spec_to_blocks(spec0, n, grid.params.num_cells // n)
     state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)

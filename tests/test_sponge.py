@@ -1,0 +1,85 @@
+"""Outer Rayleigh sponge: damping behavior + sharding invariance."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scythe_tpu import BC, GridParameters, ModelParameters, create_grid
+from scythe_tpu.model import build_step, initialize, make_scan
+from scythe_tpu.parallel import sharding as sh
+
+
+def _advection_model(tmp_path, options):
+    gp = GridParameters(
+        geometry="R",
+        xmin=0.0,
+        xmax=100.0,
+        num_cells=64,
+        BCL={"u": BC.PERIODIC},
+        BCR={"u": BC.PERIODIC},
+        vars={"u": 1},
+    )
+    model = ModelParameters(
+        ts=0.05,
+        integration_time=40.0,
+        output_interval=40.0,
+        equation_set="LinearAdvection1D",
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        grid_params=gp,
+        physical_params={"c_0": 1.0, "K": 0.0},
+        options=options,
+    )
+    grid = create_grid(gp, jnp.float64)
+    r = grid.r_mish
+    u0 = np.exp(-(((r - 30.0) / 8.0) ** 2))
+    with open(model.initial_conditions, "w") as f:
+        f.write("r,u\n")
+        for a, b in zip(r, u0):
+            f.write(f"{a},{b}\n")
+    return model
+
+
+def test_sponge_damps_outer_region(tmp_path):
+    """A pulse advecting through the sponge (relaxing to the initial
+    state) is strongly damped relative to the sponge-free run."""
+    outs = {}
+    for label, opts in [
+        ("off", {}),
+        ("on", {"sponge_width": 30.0, "sponge_tau": 2.0}),
+    ]:
+        model = _advection_model(tmp_path, opts)
+        grid, ctx, state = initialize(model)
+        step = build_step(model, grid, ctx, jnp.float64)
+        out = make_scan(step, 1200)(state)  # pulse center reaches r=90
+        outs[label] = np.asarray(grid.synthesis(out.spec)["val"][0])
+    r = create_grid(model.grid_params, jnp.float64).r_mish
+    deep = r > 80.0
+    peak_off = np.abs(outs["off"][deep]).max()
+    peak_on = np.abs(outs["on"][deep]).max()
+    assert peak_on < 0.3 * peak_off, (peak_on, peak_off)
+    # well upstream of the sponge the solution is essentially unaffected
+    # (r < 15 excluded: the periodic wrap of the undamped pulse lands there)
+    inner = (r > 15.0) & (r < 40.0)
+    assert np.abs(outs["on"][inner] - outs["off"][inner]).max() < 0.05
+
+
+@pytest.mark.parametrize("method", ["psum", "halo"])
+def test_sponge_sharding_invariance(tmp_path, method):
+    model = _advection_model(
+        tmp_path, {"sponge_width": 30.0, "sponge_tau": 2.0}
+    )
+    grid, ctx, state = initialize(model)
+    step = build_step(model, grid, ctx, jnp.float64)
+    ref = make_scan(step, 20)(state)
+
+    mesh = sh.make_mesh(8)
+    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh, method=method)
+    sstep = sh.build_sharded_step(model, grid2, ctx2, jnp.float64, mesh, method)
+    out = make_scan(sstep, 20)(state2)
+    spec = np.asarray(out.spec)
+    if method == "halo":
+        spec = np.asarray(
+            sh.blocks_to_spec(out.spec, 8, grid.params.num_cells // 8)
+        )
+    np.testing.assert_allclose(spec, np.asarray(ref.spec), rtol=1e-12, atol=1e-12)
