@@ -125,3 +125,36 @@ def test_column_helpers_batch_shapes():
     assert np.allclose(F, z**3, atol=1e-8)
     d = np.asarray(g.column_derivative(jnp.asarray(np.broadcast_to(z**2, f.shape))))
     assert np.allclose(d, 2 * z, atol=1e-8)
+
+
+def test_default_nl_warns_when_capped():
+    import warnings
+
+    from scythe_tpu.basis import fourier
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        nl = fourier.default_nl(2000)  # outermost ring wants ~18850 points
+        assert nl == 4096
+        assert any("capped" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fourier.default_nl(16)
+        assert not w
+
+
+def test_innermost_ring_keeps_mean_and_k1():
+    """The innermost mish ring sits at ~0.11 cell widths from the axis:
+    its mask must retain exactly the mean and wavenumber-1 (the floor —
+    enough to represent a smooth vector field through the axis) however
+    fine the azimuthal grid is."""
+    from scythe_tpu.basis import fourier
+
+    dr = 3000.0
+    r_inner = 0.1127 * dr
+    for nl in (16, 64, 256):
+        kmax = fourier.ring_kmax(np.array([r_inner]), dr, nl)
+        assert kmax[0] == 1, (nl, kmax)
+        mask = fourier.ring_coeff_mask(np.array([r_inner]), dr, nl)[0]
+        k = fourier.coeff_wavenumbers(nl)
+        assert set(k[mask > 0]) == {0, 1}
