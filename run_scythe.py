@@ -40,8 +40,13 @@ def parse_args(argv=None):
     p.add_argument(
         "--multihost",
         action="store_true",
-        help="call jax.distributed.initialize() for multi-host pods",
+        help="call jax.distributed.initialize() for multi-host pods "
+        "(autodetects cluster env; or pass --coordinator/--num-processes/"
+        "--process-id for a manual launch)",
     )
+    p.add_argument("--coordinator", default=None, help="host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument(
         "--shard-method",
         choices=["psum", "halo"],
@@ -80,7 +85,14 @@ def main(argv=None):
     if args.dtype == "f64":
         jax.config.update("jax_enable_x64", True)
     if args.multihost:
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(
+                args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
     import jax.numpy as jnp
 

@@ -234,11 +234,13 @@ class logged_run:
         self._trace = None
 
     def __enter__(self):
-        os.makedirs(self.model.output_dir, exist_ok=True)
-        self.handler = logging.FileHandler(
-            os.path.join(self.model.output_dir, "scythe_out.log")
-        )
-        log.addHandler(self.handler)
+        self.handler = None
+        if jax.process_index() == 0:
+            os.makedirs(self.model.output_dir, exist_ok=True)
+            self.handler = logging.FileHandler(
+                os.path.join(self.model.output_dir, "scythe_out.log")
+            )
+            log.addHandler(self.handler)
         log.setLevel(logging.INFO)
         if self.profile_dir:
             self._trace = jax.profiler.trace(self.profile_dir)
@@ -248,7 +250,8 @@ class logged_run:
     def __exit__(self, *exc):
         if self._trace is not None:
             self._trace.__exit__(*exc)
-        log.removeHandler(self.handler)
+        if self.handler is not None:
+            log.removeHandler(self.handler)
         return False
 
 
@@ -282,12 +285,15 @@ def run_loop(
     t_setup=None,
     to_canonical=None,
     from_canonical=None,
+    gather=None,
 ):
     """The shared output/checkpoint/watchdog time loop (ref run_model +
     model_loop, src/semiimplicit.jl:219-293).  The sharded driver passes
     ``to_canonical``/``from_canonical`` to map between its spectral state
     layout (e.g. halo-windowed blocks) and the canonical spectral array used
-    for synthesis, checkpoints, and resume."""
+    for synthesis, checkpoints, and resume, and ``gather`` (multi-process
+    runs) to bring cross-process-sharded arrays to the host; files are
+    written by process 0 only."""
     t_setup = t_setup or _time.time()
     t_sim0 = 0.0
     if resume_from:
@@ -309,13 +315,28 @@ def run_loop(
         num_ts,
     )
 
+    gather = gather or np.asarray
+    primary = jax.process_index() == 0
+    write_outputs = write_outputs and primary
+
+    def canonical_spec(st):
+        spec = jnp.asarray(gather(st.spec))
+        if to_canonical is not None:
+            spec = to_canonical(spec)
+        return spec
+
     def canonical(st):
-        if to_canonical is None:
-            return st
-        return st._replace(spec=to_canonical(st.spec))
+        st = st._replace(
+            spec=canonical_spec(st),
+            expdot_nm1=jnp.asarray(gather(st.expdot_nm1)),
+            expdot_nm2=jnp.asarray(gather(st.expdot_nm2)),
+            impdot_nm1=jnp.asarray(gather(st.impdot_nm1)),
+            impdot_nm2=jnp.asarray(gather(st.impdot_nm2)),
+        )
+        return st
 
     def fetch_phys(st):
-        return np.asarray(grid.synthesis(canonical(st).spec)["val"])
+        return np.asarray(grid.synthesis(canonical_spec(st))["val"])
 
     ckpt_interval = ctx.options.get("checkpoint_interval", 0.0)
     ckpt_int = int(round(ckpt_interval / model.ts)) if ckpt_interval else 0
@@ -342,11 +363,13 @@ def run_loop(
         if write_outputs:
             sio.write_output(grid, model, t_sim, phys)
         if ckpt_int and steps_done % ckpt_int == 0:
-            path = os.path.join(
-                model.output_dir, f"checkpoint_{round(t_sim, 2)}.npz"
-            )
-            sio.save_checkpoint(path, canonical(state), t_sim)
-            log.info("checkpoint: %s", path)
+            ckpt_state = canonical(state)
+            if primary:
+                path = os.path.join(
+                    model.output_dir, f"checkpoint_{round(t_sim, 2)}.npz"
+                )
+                sio.save_checkpoint(path, ckpt_state, t_sim)
+                log.info("checkpoint: %s", path)
         log.info("ts: %s", t_sim)
     wall = _time.time() - t_run
     gps = grid.num_points * num_ts / wall if wall > 0 else float("inf")

@@ -48,6 +48,19 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
+def gather_global(x) -> np.ndarray:
+    """Device array (possibly sharded across processes) -> host numpy.
+
+    Single-process: plain transfer.  Multi-process (the --multihost CLI
+    path, ref run_Scythe.jl:35-44's worker launch): allgather so every
+    process holds the full array — used at output boundaries only."""
+    if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _check_divisible(grid: Grid, n: int):
     if grid.params.num_cells % n != 0:
         raise ValueError(
@@ -336,6 +349,7 @@ def integrate_sharded(
             resume_from=resume_from,
             to_canonical=to_canonical,
             from_canonical=from_canonical,
+            gather=gather_global,
         )
 
 
