@@ -174,3 +174,31 @@ def test_dewpoint_below_temperature_when_subsaturated():
     q_sat = float(td.q_sat_liquid(jnp.asarray(Tk), p))
     Td_sat = float(td.dewpoint(p, q_sat))
     assert abs(Td_sat - Tk) < 1.0
+
+
+def test_reference_quirks_dmudq_dispatch():
+    """options['reference_quirks'] restores the reference's raw q->mu
+    Jacobian; the default is the clamped stability guard (PARITY.md)."""
+    import jax.numpy as jnp
+
+    from scythe_tpu.equations.common import EqContext
+    from scythe_tpu.physics import thermodynamics as td
+
+    mu = jnp.asarray([-0.5, 0.1])  # mu < 0: raw Jacobian blows past clamp
+    q = jnp.asarray([1e-6, 1e-3])
+
+    def ctx(opts):
+        return EqContext(
+            grid=None, coords={}, params={}, options=opts, ts=1.0,
+            var_index=lambda n: 0,
+        )
+
+    raw = np.asarray(td.dmudq(mu, q))
+    clamped = np.asarray(td.dmudq_source(mu, q))
+    assert raw[0] > 2.0 and clamped[0] == 2.0  # they differ where it matters
+    np.testing.assert_array_equal(
+        np.asarray(ctx({}).dmudq_source(mu, q)), clamped
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ctx({"reference_quirks": True}).dmudq_source(mu, q)), raw
+    )
