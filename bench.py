@@ -111,19 +111,17 @@ def rlz_transform_bench(device, dtype, reps=20):
         def roundtrip(s):
             return grid.analysis(grid.synthesis(s)["val"])
 
-        lowered = jax.jit(roundtrip).lower(spec)
-        compiled = lowered.compile()
+        t0 = time.time()
+        compiled = jax.jit(roundtrip).lower(spec).compile()
+        compile_s = time.time() - t0
         try:
             flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
         except Exception:
             flops = 0.0
-        f = jax.jit(roundtrip)
-        t0 = time.time()
-        out = jax.block_until_ready(f(spec))
-        compile_s = time.time() - t0
+        out = jax.block_until_ready(compiled(spec))  # warmup
         t0 = time.time()
         for _ in range(reps):
-            out = f(out)
+            out = compiled(out)
         jax.block_until_ready(out)
         dt = (time.time() - t0) / reps
         gps = grid.num_points * gp.nvars / dt

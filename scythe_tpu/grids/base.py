@@ -367,7 +367,14 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         grid.nl = nl
         factored = getattr(p, "l_factored", None)
         if factored is None:
-            factored = nl >= 512  # dense [nl,nl] GEMM cost O(nl)/point
+            # auto: factored when the dense [nl,nl] GEMM (O(nl)/point)
+            # starts to dominate AND nl admits an even x even split
+            factored = nl >= 512
+            if factored:
+                try:
+                    ff.split_radix(nl)
+                except ValueError:
+                    factored = False
         if factored:
             fd = ff.FactoredDFT(nl)
             grid.l_fact = ff.FactOps(fd, prep, dtype, jnp)

@@ -110,7 +110,14 @@ def build_step(
         r = ctx.coords["r"]
         ramp = jnp.clip((r - (p.xmax - sp_w)) / sp_w, 0.0, 1.0)
         sponge_sigma = (jnp.sin(0.5 * jnp.pi * ramp) ** 2 / tau).astype(dtype)
-        sponge_ref = ctx.extras.get("sponge_ref")
+        if "sponge_ref" not in ctx.extras:
+            raise ValueError(
+                "options['sponge_width'] needs ctx.extras['sponge_ref'] (the "
+                "initial far-field state) — initialize()/initialize_sharded() "
+                "set it; drivers that cannot (e.g. integrate_ensemble) do not "
+                "support sponge configurations"
+            )
+        sponge_ref = ctx.extras["sponge_ref"]
 
     def step(state: ti.ModelState) -> ti.ModelState:
         fields = synthesis_fn(state.spec)
@@ -120,8 +127,7 @@ def build_step(
             phys = phys.at[v].set(arr)
         expdot = res.expdot
         if sponge_sigma is not None:
-            ref = 0.0 if sponge_ref is None else sponge_ref
-            expdot = expdot - sponge_sigma[None] * (phys - ref)
+            expdot = expdot - sponge_sigma[None] * (phys - sponge_ref)
         var_np1, e_nm1, e_nm2 = ti.explicit_step(
             phys, expdot, state.expdot_nm1, state.expdot_nm2, state.t, ts
         )

@@ -39,7 +39,6 @@ from ..model import build_context, build_step
 from . import schur as schur_mod
 
 AXIS = "r"
-MUBAR = 3  # mish points per cell
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -96,14 +95,20 @@ def _local_coords(coords: dict, idx, rows: int) -> dict:
     return out
 
 
-def _local_extras(extras: dict, idx, rows: int) -> dict:
+def _local_extras(extras: dict, idx, rows: int, rDim: int) -> dict:
     """Slice radially-shaped auxiliary fields (e.g. the sponge reference
-    state [nvars, rDim, ...]) to this shard's rows."""
-    out = dict(extras)
-    if "sponge_ref" in out:
-        out["sponge_ref"] = jax.lax.dynamic_slice_in_dim(
-            out["sponge_ref"], idx * rows, rows, axis=1
-        )
+    state [nvars, rDim, ...]) to this shard's rows.  Any array whose
+    axis 1 spans the full radial mish dimension is sliced — the mechanism
+    covers future extras entries, not just the sponge."""
+    out = {}
+    for key, val in extras.items():
+        if (
+            hasattr(val, "ndim")
+            and val.ndim >= 2
+            and val.shape[1] == rDim
+        ):
+            val = jax.lax.dynamic_slice_in_dim(val, idx * rows, rows, axis=1)
+        out[key] = val
     return out
 
 
@@ -276,7 +281,7 @@ def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh, method="psum")
             ctx,
             grid=lg,
             coords=_local_coords(ctx.coords, idx, rows),
-            extras=_local_extras(ctx.extras, idx, rows),
+            extras=_local_extras(ctx.extras, idx, rows, grid.params.rDim),
         )
         step = build_step(
             model,

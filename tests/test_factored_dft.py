@@ -123,3 +123,14 @@ def test_trajectory_matches_dense(tmp_path):
         out = make_scan(step, 10)(state)
         outs[factored] = np.asarray(grid.synthesis(out.spec)["val"])
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-11, atol=1e-11)
+
+
+def test_auto_factored_falls_back_for_unfactorable_nl():
+    """nl = 2*odd (e.g. 514) has no even x even split: the auto mode must
+    fall back to the dense path instead of crashing (round-2 review)."""
+    gp = GridParameters(
+        geometry="RL", xmin=0.0, xmax=1.0e5, num_cells=8, lDim=514,
+        BCL={"a": BC.R0}, BCR={"a": BC.R0}, vars={"a": 1},
+    )
+    g = create_grid(gp, jnp.float64, "plain")
+    assert g.l_fact is None and g.kDim == 514

@@ -83,3 +83,25 @@ def test_sponge_sharding_invariance(tmp_path, method):
             sh.blocks_to_spec(out.spec, 8, grid.params.num_cells // 8)
         )
     np.testing.assert_allclose(spec, np.asarray(ref.spec), rtol=1e-12, atol=1e-12)
+
+
+def test_sponge_without_reference_state_raises():
+    """build_step refuses a sponge config when no sponge_ref was set up
+    (e.g. integrate_ensemble) rather than silently relaxing to zero."""
+    from scythe_tpu.model import build_context
+    from scythe_tpu.config import ModelParameters
+
+    gp = GridParameters(
+        geometry="R", xmin=0.0, xmax=100.0, num_cells=16,
+        BCL={"u": BC.PERIODIC}, BCR={"u": BC.PERIODIC}, vars={"u": 1},
+    )
+    model = ModelParameters(
+        ts=0.05, integration_time=1.0, output_interval=1.0,
+        equation_set="LinearAdvection1D",
+        grid_params=gp, physical_params={"c_0": 1.0, "K": 0.0},
+        options={"sponge_width": 30.0},
+    )
+    grid = create_grid(gp, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    with pytest.raises(ValueError, match="sponge_ref"):
+        build_step(model, grid, ctx, jnp.float64)
