@@ -1,12 +1,15 @@
 """Radix-split (factored) azimuthal real DFT — FFT-free, still GEMMs.
 
-The dense [nl, nl] real-DFT matmul (fourier.py) costs O(nl) per point and
-starts to dominate RL/RLZ transforms at nl >= 512 (round-1 VERDICT weak
-#1; docs/ROADMAP.md item 8).  This module factors the transform
+The dense [nl, nl] real-DFT matmul (fourier.py) costs O(nl) flops per
+point and O(nl^2) operator memory.  This module factors the transform
 Cooley-Tukey style into two much smaller GEMM stages plus an elementwise
-twiddle, cutting the azimuthal flops from O(nl^2) to O(nl*(n1+n2)) per
-ring while keeping everything on the MXU (no FFT primitive — unavailable
-on some TPU runtimes — and no dynamic shapes).
+twiddle, cutting the azimuthal flops to O(n1+n2) per point while keeping
+everything on the MXU (no FFT primitive — unavailable on some TPU
+runtimes — and no dynamic shapes).  Measured on v5e the transform is
+HBM-bandwidth bound, so the flop savings are only marginal at moderate
+nl (docs/RESULTS.md round-2 table); the mode auto-enables for nl > 2048,
+where the dense operator constants themselves become impractical
+(create_grid auto policy).
 
 Math (decimation in frequency, nl = n1 * n2, both even):
     k = k2 + n2*k1,   l = l1 + n1*l2

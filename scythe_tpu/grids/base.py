@@ -367,9 +367,14 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         grid.nl = nl
         factored = getattr(p, "l_factored", None)
         if factored is None:
-            # auto: factored when the dense [nl,nl] GEMM (O(nl)/point)
-            # starts to dominate AND nl admits an even x even split
-            factored = nl >= 512
+            # auto: dense up to nl=2048 — the transform is HBM-bound, so
+            # the factored flop savings measure NEUTRAL-to-slower there
+            # (docs/RESULTS.md round-2 table); beyond that the dense
+            # [nl, nl] operator constants themselves become impractical
+            # (O(nl^2) memory; they exceed this runtime's compile-payload
+            # limit at nl=4096) and factored is the only viable mode.
+            # Requires an even x even split of nl.
+            factored = nl > 2048
             if factored:
                 try:
                     ff.split_radix(nl)
