@@ -109,7 +109,13 @@ def rlz_transform_bench(device, dtype, reps=20):
         spec = jnp.ones(grid.spectral_shape, dtype) * 1e-3
 
         def roundtrip(s):
-            return grid.analysis(grid.synthesis(s)["val"])
+            out = grid.synthesis(s)
+            # keep every derivative slot alive (the real step consumes all
+            # 7; without this XLA dead-code-eliminates ~37% of the work)
+            keep = sum(
+                jnp.sum(out[k]) for k in grid.field_keys if k != "val"
+            )
+            return grid.analysis(out["val"]) + keep * 1e-30
 
         t0 = time.time()
         compiled = jax.jit(roundtrip).lower(spec).compile()

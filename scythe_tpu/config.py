@@ -61,7 +61,9 @@ class GridParameters:
     BCL: Any = None
     BCR: Any = None
     lDim: int = 0  # uniform azimuthal points (0 = auto)
-    l_factored: Any = None  # radix-split azimuthal DFT (None = auto: nl>=512)
+    l_factored: Any = None  # radix-split azimuthal DFT (None = auto: nl>2048)
+    deriv_single: Any = None  # single-pass bf16 derivative synthesis
+    # (None = auto; only active in compensated mode, see grids/base.py)
     zmin: float = 0.0
     zmax: float = 0.0
     zDim: int = 0

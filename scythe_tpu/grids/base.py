@@ -54,6 +54,11 @@ def _split3(op: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.stack([hi, lo, hi]))
 
 
+def _bf16(op: np.ndarray) -> jnp.ndarray:
+    """Plain bf16 operator for the single-pass derivative GEMMs."""
+    return jnp.asarray(np.asarray(op, np.float32), jnp.bfloat16)
+
+
 @dataclass
 class Grid:
     """A built grid: static metadata + device operator arrays.
@@ -88,6 +93,18 @@ class Grid:
     zcol_int: jnp.ndarray | None = None  # [nz, nz] R0 column antiderivative
     zcol_deriv: jnp.ndarray | None = None  # [nz, nz] R0 column d/dz
     zcol_filter: jnp.ndarray | None = None  # [nz, nz] CB+CA+CI round trip
+    # selective single-pass bf16 derivative synthesis (fast=True): the value
+    # chain stays compensated (its errors feed analysis and accumulate), but
+    # the 6 derivative slots feed tendencies that enter the state x dt, so
+    # single-pass bf16 is accuracy-adequate there (docs/NUMERICS.md "Where
+    # plain bf16 would be acceptable") and cuts that traffic/flops 3x.
+    fast: bool = False
+    z_synth_val: jnp.ndarray | None = None  # comp [nz, nz] value-only
+    z_deriv_f: jnp.ndarray | None = None  # bf16 [2, nz, nz] (dz, dzz)
+    l_deriv_f: jnp.ndarray | None = None  # bf16 [2, nl, nl] (dl, dll)
+    l_synth_f: jnp.ndarray | None = None  # bf16 [nl, nl]
+    synth_r_deriv_f: jnp.ndarray | None = None  # bf16 [2, rDim, nb]
+    synth_r_val_f: jnp.ndarray | None = None  # bf16 [rDim, nb]
 
     # ------------------------------------------------------------------
     def _mm(self, subs: str, op: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,6 +125,12 @@ class Grid:
         b, out = rest.split("->")
         return jnp.einsum(
             f"p{a},p{b}->{out}", op, x3, preferred_element_type=self.dtype
+        )
+
+    def _mmf(self, subs: str, op: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Single-pass bf16 GEMM with f32 accumulation (derivative slots)."""
+        return jnp.einsum(
+            subs, op, x.astype(jnp.bfloat16), preferred_element_type=self.dtype
         )
 
     # ------------------------------------------------------------------
@@ -261,6 +284,15 @@ class Grid:
             out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
             return out
         if g == "RL":
+            if self.fast:
+                lval = self._mm("lk,vbk->vbl", self.l_synth, spec)
+                ld = self._mmf("dlk,vbk->vdbl", self.l_deriv_f, spec)
+                rdv = self._mmf("drb,vbl->vdrl", self.synth_r_deriv_f, lval)
+                rd = self._mmf("rb,vdbl->vdrl", self.synth_r_val_f, ld)
+                out["val"] = self._mm("rb,vbl->vrl", self.synth_r_val, lval)
+                out["dr"], out["drr"] = rdv[:, 0], rdv[:, 1]
+                out["dl"], out["dll"] = rd[:, 0], rd[:, 1]
+                return out
             if self.l_fact is not None:
                 from ..basis import fourier_factored as ff
 
@@ -273,11 +305,34 @@ class Grid:
             out["dl"], out["dll"] = rd[:, 0], rd[:, 1]
             return out
         if g == "RZ":
+            if self.fast:
+                zval = self._mm("zK,vbK->vbz", self.z_synth_val, spec)
+                zd = self._mmf("dzK,vbK->vdbz", self.z_deriv_f, spec)
+                rdv = self._mmf("drb,vbz->vdrz", self.synth_r_deriv_f, zval)
+                rd = self._mmf("rb,vdbz->vdrz", self.synth_r_val_f, zd)
+                out["val"] = self._mm("rb,vbz->vrz", self.synth_r_val, zval)
+                out["dr"], out["drr"] = rdv[:, 0], rdv[:, 1]
+                out["dz"], out["dzz"] = rd[:, 0], rd[:, 1]
+                return out
             zc = self._mm("dzK,vbK->vdbz", self.z_all, spec)
             r3 = self._mm("drb,vbz->vdrz", self.synth_r, zc[:, 0])
             rd = self._mm("rb,vdbz->vdrz", self.synth_r_val, zc[:, 1:])
             out["val"], out["dr"], out["drr"] = r3[:, 0], r3[:, 1], r3[:, 2]
             out["dz"], out["dzz"] = rd[:, 0], rd[:, 1]
+            return out
+        if self.fast:
+            zval = self._mm("zK,vbkK->vbkz", self.z_synth_val, spec)
+            zd = self._mmf("dzK,vbkK->vdbkz", self.z_deriv_f, spec)
+            lval = self._mm("lk,vbkz->vblz", self.l_synth, zval)
+            ld = self._mmf("dlk,vbkz->vdblz", self.l_deriv_f, zval)
+            lz = self._mmf("lk,vdbkz->vdblz", self.l_synth_f, zd)
+            rdv = self._mmf("drb,vblz->vdrlz", self.synth_r_deriv_f, lval)
+            rl = self._mmf("rb,vdblz->vdrlz", self.synth_r_val_f, ld)
+            rz = self._mmf("rb,vdblz->vdrlz", self.synth_r_val_f, lz)
+            out["val"] = self._mm("rb,vblz->vrlz", self.synth_r_val, lval)
+            out["dr"], out["drr"] = rdv[:, 0], rdv[:, 1]
+            out["dl"], out["dll"] = rl[:, 0], rl[:, 1]
+            out["dz"], out["dzz"] = rz[:, 0], rz[:, 1]
             return out
         zc = self._mm("dzK,vbkK->vdbkz", self.z_all, spec)
         if self.l_fact is not None:
@@ -359,6 +414,7 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
     )
 
     # --- azimuthal ------------------------------------------------------
+    l_mats = None
     if p.geometry in ("RL", "RLZ"):
         from ..basis import fourier_factored as ff
 
@@ -391,6 +447,7 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
                 fourier.ring_coeff_mask(r_mish, dr, nl, p.l_q), dtype
             )
             la, ls, ld, ld2 = fourier.dft_matrices(nl)
+            l_mats = (ls, ld, ld2)
             grid.l_analysis = prep(la)
             grid.l_synth = prep(ls)
             grid.l_all = prep(np.stack([ls, ld, ld2]))
@@ -408,7 +465,34 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         grid.analysis_z = prep(np.stack(anz))
         grid.z_all = prep(np.stack([z0.synth, z0.dsynth, z0.d2synth]))
         r0a = z0.constrain @ z0.analysis
+        grid.z_synth_val = prep(z0.synth)
         grid.zcol_int = prep(z0.isynth @ r0a)
         grid.zcol_deriv = prep(z0.dsynth @ r0a)
         grid.zcol_filter = prep(z0.synth @ r0a)
+        z_mats = (z0.dsynth, z0.d2synth)
+
+    # --- selective single-pass bf16 derivative synthesis ----------------
+    # Value-chain GEMMs stay compensated (their errors feed analysis and
+    # accumulate over the integration); the 6 derivative slots only enter
+    # the state through tendencies x dt, so single-pass bf16 is adequate
+    # there (docs/NUMERICS.md).  Only meaningful in compensated mode; the
+    # factored-DFT mode keeps its own (compensated) chain.
+    fast_req = getattr(p, "deriv_single", None)
+    if fast_req is None:
+        # auto: ON in compensated mode — trajectory drift validated on the
+        # production flagship config (tools/validate_fastderiv.py: 24 h
+        # completes, Vmax within 0.06%/0.45% of the compensated run at the
+        # 2.5 h/8.5 h gates, inside the f32-vs-f64 chaos band); 1.7x
+        # measured on the all-slot RLZ roundtrip (docs/RESULTS.md).
+        fast_req = True
+    if fast_req and comp and p.geometry != "R" and grid.l_fact is None:
+        grid.fast = True
+        grid.synth_r_deriv_f = _bf16(synth[1:])
+        grid.synth_r_val_f = _bf16(synth[0])
+        if l_mats is not None:
+            ls, ld, ld2 = l_mats
+            grid.l_deriv_f = _bf16(np.stack([ld, ld2]))
+            grid.l_synth_f = _bf16(ls)
+        if p.geometry in ("RZ", "RLZ"):
+            grid.z_deriv_f = _bf16(np.stack(z_mats))
     return grid

@@ -82,6 +82,13 @@ def _local_grid(grid: Grid, idx, rows: int) -> Grid:
     lg.project_r = jax.lax.dynamic_slice_in_dim(
         grid.project_r, start, rows, axis=1 + off
     )
+    if grid.fast:  # single-pass bf16 derivative operators (no comp axis)
+        lg.synth_r_deriv_f = jax.lax.dynamic_slice_in_dim(
+            grid.synth_r_deriv_f, start, rows, axis=1
+        )
+        lg.synth_r_val_f = jax.lax.dynamic_slice_in_dim(
+            grid.synth_r_val_f, start, rows, axis=0
+        )
     if grid.ring_mask is not None:
         lg.ring_mask = jax.lax.dynamic_slice_in_dim(grid.ring_mask, start, rows, axis=0)
     return lg
@@ -202,6 +209,11 @@ def _window_grid(grid: Grid, idx, n: int) -> Grid:
     lg.synth_r_val = jax.lax.dynamic_slice_in_dim(sv, b0, W, axis=1 + off)
     pr = jax.lax.dynamic_slice_in_dim(grid.project_r, b0, W, axis=0 + off)
     lg.project_r = jax.lax.dynamic_slice_in_dim(pr, r0, rows, axis=1 + off)
+    if grid.fast:  # single-pass bf16 derivative operators (no comp axis)
+        sd = jax.lax.dynamic_slice_in_dim(grid.synth_r_deriv_f, r0, rows, axis=1)
+        lg.synth_r_deriv_f = jax.lax.dynamic_slice_in_dim(sd, b0, W, axis=2)
+        sf = jax.lax.dynamic_slice_in_dim(grid.synth_r_val_f, r0, rows, axis=0)
+        lg.synth_r_val_f = jax.lax.dynamic_slice_in_dim(sf, b0, W, axis=1)
     if grid.ring_mask is not None:
         lg.ring_mask = jax.lax.dynamic_slice_in_dim(grid.ring_mask, r0, rows, axis=0)
     return lg
@@ -358,15 +370,16 @@ def integrate_sharded(
         )
 
 
-def initialize_sharded(model, mesh: Mesh, dtype=None, method="psum"):
+def initialize_sharded(model, mesh: Mesh, dtype=None, method="psum", matmul="auto"):
     """Sharded analog of model.initialize: build grid/context/state and
-    place the state according to the mesh."""
+    place the state according to the mesh.  ``matmul`` forwards to
+    create_grid (tests force "compensated" off-TPU)."""
     from .. import io as sio
     from ..grids.base import create_grid
     from ..model import default_dtype
 
     dtype = dtype or default_dtype()
-    grid = create_grid(model.grid_params, dtype)
+    grid = create_grid(model.grid_params, dtype, matmul=matmul)
     n = mesh.shape[AXIS]
     _check_divisible(grid, n)
     ctx = build_context(model, grid, dtype)

@@ -18,6 +18,10 @@ def _gp():
         lDim=32,
         BCL={"h": BC.R1T1},
         vars={"h": 1, "u": 2},
+        # this file tests the compensated scheme itself on every slot;
+        # the (default-on) single-pass-bf16 derivative relaxation is
+        # covered by tests/test_fastderiv.py
+        deriv_single=False,
     )
 
 

@@ -205,3 +205,46 @@ def test_mesh_size_must_divide_cells(tmp_path):
     mesh = sh.make_mesh(8)
     with pytest.raises(ValueError):
         sh.initialize_sharded(model, mesh)
+
+
+@pytest.mark.parametrize("method", ["psum", "halo"])
+def test_sharded_matches_single_fastderiv(tmp_path, method):
+    """Compensated + single-pass-bf16-derivative mode (the TPU production
+    default) through the sharded paths: the fast radial operators must be
+    sliced per shard exactly like the compensated stacks.  f32 sum-order
+    noise bounds the agreement (~1e-4 relative here, measured identical
+    with deriv_single on and off); a slicing bug would be O(1) or a shape
+    error."""
+    from scythe_tpu import io as sio
+    from scythe_tpu import timeintegration as ti
+    from scythe_tpu.model import build_context
+
+    model = _slab_setup(tmp_path)
+    n_steps = 5
+
+    grid_f = create_grid(model.grid_params, jnp.float32, matmul="compensated")
+    assert grid_f.fast
+    ctx_f = build_context(model, grid_f, jnp.float32)
+    step = build_step(model, grid_f, ctx_f, jnp.float32)
+    phys0 = sio.read_physical_grid(model.initial_conditions, grid_f)
+    spec0 = grid_f.analysis(jnp.asarray(phys0, jnp.float32))
+    state = ti.initial_state(
+        spec0, (grid_f.nvars,) + grid_f.spatial_shape, jnp.float32
+    )
+    ref = make_scan(step, n_steps)(state)
+
+    mesh = sh.make_mesh(8)
+    grid2, ctx2, state2 = sh.initialize_sharded(
+        model, mesh, jnp.float32, method=method, matmul="compensated"
+    )
+    assert grid2.fast
+    sstep = sh.build_sharded_step(model, grid2, ctx2, jnp.float32, mesh, method)
+    out = make_scan(sstep, n_steps)(state2)
+
+    spec = np.asarray(out.spec)
+    if method == "halo":
+        spec = np.asarray(
+            sh.blocks_to_spec(out.spec, 8, grid2.params.num_cells // 8)
+        )
+    scale = np.abs(np.asarray(ref.spec)).max()
+    assert np.abs(spec - np.asarray(ref.spec)).max() < 1e-3 * scale

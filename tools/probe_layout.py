@@ -1,8 +1,17 @@
-"""Probe: does the RLZ axis order (z-minor vs l-minor) change transform
-throughput on TPU?  Times the same synthesis-like contraction chain in both
-layouts, back-to-back in one session (tunnel variance rule, CLAUDE.md).
+"""Probe: does the RLZ axis order (z-minor vs l-minor) change synthesis
+throughput on TPU?  Times the same GEMM chain in both layouts, back-to-back
+in one session (tunnel variance rule, CLAUDE.md).
 
-Also probes zDim padding 60 -> 64 and a flattened-batch GEMM formulation.
+Chains mirror the production fast-deriv synthesis structure
+(grids/base.py): compensated-style value chain (simulated at f32) + plain
+bf16 single-pass derivative stacks.  ALL outputs are kept alive via a
+sum-poison (an earlier version of this probe kept only the value stack and
+mismeasured the layout delta on 3 of 7 slots).
+
+Variants:
+  A  z-minor state [v,b,k,K], z-minor outputs [v,r,l,z]  (current layout)
+  B  l-minor state [v,b,K,k], l-minor outputs [v,r,z,l]  (layout change)
+  C  l-minor internal, z-minor outputs (transpose on the final writes)
 """
 
 import os
@@ -13,7 +22,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-L = 100
+L = 50
 
 
 def chain_time(f, x, reps=3):
@@ -23,8 +32,9 @@ def chain_time(f, x, reps=3):
     def run(x0):
         def body(carry, _):
             (poison,) = carry
-            y = f(x0 * (1.0 + poison))
-            return ((jnp.ravel(y)[0] * 1e-300).astype(x0.dtype),), None
+            ys = f(x0 * (1.0 + poison))
+            tot = sum(jnp.sum(y) for y in ys)
+            return ((tot * 1e-300).astype(x0.dtype),), None
 
         out, _ = jax.lax.scan(body, (jnp.zeros((), x0.dtype),), None, length=L)
         return out
@@ -40,93 +50,77 @@ def chain_time(f, x, reps=3):
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from scythe_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
     v, b, r, nl, nz = 8, 67, 192, 128, 60
-    f32 = jnp.float32
+    f32, bf16 = jnp.float32, jnp.bfloat16
 
-    def mk(shape):
-        return jnp.asarray(np.random.default_rng(0).normal(size=shape), f32)
+    rng = np.random.default_rng(0)
 
-    zop = mk((3, nz, nz))
-    lop = mk((3, nl, nl))
-    rop = mk((3, r, b))
+    def mk(shape, dt=f32):
+        return jnp.asarray(rng.normal(size=shape), dt)
+
+    zval = mk((nz, nz))
+    zd = mk((2, nz, nz), bf16)
+    lval = mk((nl, nl))
+    ld = mk((2, nl, nl), bf16)
+    lsyn = mk((nl, nl), bf16)
+    rval = mk((r, b))
+    rd = mk((2, r, b), bf16)
+
+    def bf(x):
+        return x.astype(bf16)
 
     results = {}
 
-    # A: current layout [v, b, k, K] -> [v, d, r, l, z] (z minor)
+    # A: current z-minor layout, fast-deriv structure
     spec_a = mk((v, b, nl, nz))
 
-    def chain_a(s):
-        zc = jnp.einsum("dzK,vbkK->vdbkz", zop, s)
-        lv = jnp.einsum("dlk,vbkz->vdblz", lop, zc[:, 0])
-        out = jnp.einsum("drb,vblz->vdrlz", rop, lv[:, 0])
-        return out
+    def syn_a(s):
+        zv = jnp.einsum("zK,vbkK->vbkz", zval, s)
+        zdd = jnp.einsum("dzK,vbkK->vdbkz", zd, bf(s), preferred_element_type=f32)
+        lv = jnp.einsum("lk,vbkz->vblz", lval, zv)
+        ldd = jnp.einsum("dlk,vbkz->vdblz", ld, bf(zv), preferred_element_type=f32)
+        lz = jnp.einsum("lk,vdbkz->vdblz", lsyn, bf(zdd), preferred_element_type=f32)
+        val = jnp.einsum("rb,vblz->vrlz", rval, lv)
+        rdv = jnp.einsum("drb,vblz->vdrlz", rd, bf(lv), preferred_element_type=f32)
+        rl = jnp.einsum("rb,vdblz->vdrlz", rd[0], bf(ldd), preferred_element_type=f32)
+        rz = jnp.einsum("rb,vdblz->vdrlz", rd[0], bf(lz), preferred_element_type=f32)
+        return val, rdv, rl, rz
 
-    results["z-minor [vbkK]->[vdrlz]"] = chain_time(chain_a, spec_a)
+    results["A z-minor (current)"] = chain_time(syn_a, spec_a)
 
-    # B: swapped layout [v, b, K, k] -> [v, d, r, z, l] (l minor)
+    # B: l-minor layout end to end
     spec_b = mk((v, b, nz, nl))
 
-    def chain_b(s):
-        zc = jnp.einsum("dzK,vbKk->vdbzk", zop, s)
-        lv = jnp.einsum("dlk,vbzk->vdbzl", lop, zc[:, 0])
-        out = jnp.einsum("drb,vbzl->vdrzl", rop, lv[:, 0])
-        return out
-
-    results["l-minor [vbKk]->[vdrzl]"] = chain_time(chain_b, spec_b)
-
-    # C: z padded to 64, z minor
-    nzp = 64
-    zopp = mk((3, nzp, nzp))
-    spec_c = mk((v, b, nl, nzp))
-
-    def chain_c(s):
-        zc = jnp.einsum("dzK,vbkK->vdbkz", zopp, s)
-        lv = jnp.einsum("dlk,vbkz->vdblz", lop, zc[:, 0])
-        out = jnp.einsum("drb,vblz->vdrlz", rop, lv[:, 0])
-        return out
-
-    results["z-minor padded z=64"] = chain_time(chain_c, spec_c)
-
-    # D: flattened trailing batch: one true GEMM per stage, [v*k*z] flat
-    spec_d = mk((b, v * nl * nz))
-
-    def chain_d(s):
-        return rop[0] @ s  # radial synthesis as single [r,b]@[b,N]
-
-    results["bare radial GEMM flat N"] = chain_time(chain_d, spec_d)
-
-    # E: full 7-slot synthesis traffic, z minor vs l minor
-    def syn_a(s):
-        zc = jnp.einsum("dzK,vbkK->vdbkz", zop, s)
-        lv = jnp.einsum("dlk,vbkz->vdblz", lop, zc[:, 0])
-        lz = jnp.einsum("lk,vdbkz->vdblz", lop[0], zc[:, 1:])
-        r3 = jnp.einsum("drb,vblz->vdrlz", rop, lv[:, 0])
-        rl = jnp.einsum("rb,vdblz->vdrlz", rop[0], lv[:, 1:])
-        rz = jnp.einsum("rb,vdblz->vdrlz", rop[0], lz)
-        return r3, rl, rz
-
-    results["7-slot synthesis z-minor"] = chain_time(lambda s: syn_a(s)[0], spec_a)
-
     def syn_b(s):
-        zc = jnp.einsum("dzK,vbKk->vdbzk", zop, s)
-        lv = jnp.einsum("dlk,vbzk->vdbzl", lop, zc[:, 0])
-        lz = jnp.einsum("lk,vdbzk->vdbzl", lop[0], zc[:, 1:])
-        r3 = jnp.einsum("drb,vbzl->vdrzl", rop, lv[:, 0])
-        rl = jnp.einsum("rb,vdbzl->vdrzl", rop[0], lv[:, 1:])
-        rz = jnp.einsum("rb,vdbzl->vdrzl", rop[0], lz)
-        return r3, rl, rz
+        zv = jnp.einsum("zK,vbKk->vbzk", zval, s)
+        zdd = jnp.einsum("dzK,vbKk->vdbzk", zd, bf(s), preferred_element_type=f32)
+        lv = jnp.einsum("lk,vbzk->vbzl", lval, zv)
+        ldd = jnp.einsum("dlk,vbzk->vdbzl", ld, bf(zv), preferred_element_type=f32)
+        lz = jnp.einsum("lk,vdbzk->vdbzl", lsyn, bf(zdd), preferred_element_type=f32)
+        val = jnp.einsum("rb,vbzl->vrzl", rval, lv)
+        rdv = jnp.einsum("drb,vbzl->vdrzl", rd, bf(lv), preferred_element_type=f32)
+        rl = jnp.einsum("rb,vdbzl->vdrzl", rd[0], bf(ldd), preferred_element_type=f32)
+        rz = jnp.einsum("rb,vdbzl->vdrzl", rd[0], bf(lz), preferred_element_type=f32)
+        return val, rdv, rl, rz
 
-    results["7-slot synthesis l-minor"] = chain_time(lambda s: syn_b(s)[0], spec_b)
+    results["B l-minor (layout change)"] = chain_time(syn_b, spec_b)
 
-    print(f"{'variant':<34} {'us':>9}")
+    # C: l-minor internals, transpose to the public z-minor layout at the end
+    def syn_c(s):
+        val, rdv, rl, rz = syn_b(s)
+        tp = lambda a: jnp.swapaxes(a, -1, -2)
+        return tp(val), tp(rdv), tp(rl), tp(rz)
+
+    results["C l-minor int, z-minor out"] = chain_time(syn_c, spec_b)
+
+    print(f"{'variant':<30} {'us':>9}")
     for k, t in results.items():
-        print(f"{k:<34} {t*1e6:9.1f}")
+        print(f"{k:<30} {t*1e6:9.1f}")
 
 
 if __name__ == "__main__":
