@@ -84,10 +84,16 @@ _PEAK_FLOPS = {
 }
 
 
-def rlz_transform_bench(device, dtype, reps=20):
+def rlz_transform_bench(device, dtype, reps=4, chain=50):
     """Transform-only throughput on a 3-D RLZ grid (the BASELINE.json
     primary metric 'grid-points/s per chip (RLZ transforms)'): one full
-    synthesis (all 7 derivative slots) + analysis round trip."""
+    synthesis (all 7 derivative slots) + analysis round trip.
+
+    Timed as a ``chain``-long on-device lax.scan dependency chain — the
+    execution shape of production runs (make_scan chunks) — so per-call
+    host dispatch latency (~1.5 ms through the axon tunnel, which used to
+    more than double the measured time) amortizes away and the number
+    reflects device compute."""
     import jax
     import jax.numpy as jnp
 
@@ -117,19 +123,29 @@ def rlz_transform_bench(device, dtype, reps=20):
             )
             return grid.analysis(out["val"]) + keep * 1e-30
 
+        def chain_fn(s0):
+            out, _ = jax.lax.scan(
+                lambda c, _: (roundtrip(c), None), s0, None, length=chain
+            )
+            return out
+
         t0 = time.time()
-        compiled = jax.jit(roundtrip).lower(spec).compile()
+        compiled = jax.jit(chain_fn).lower(spec).compile()
         compile_s = time.time() - t0
         try:
-            flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
+            # flop count from the single-roundtrip compile: XLA cost
+            # analysis does not scale a scan body by its trip count
+            single = jax.jit(roundtrip).lower(spec).compile()
+            flops = float((single.cost_analysis() or {}).get("flops", 0.0))
         except Exception:
             flops = 0.0
         out = jax.block_until_ready(compiled(spec))  # warmup
-        t0 = time.time()
+        best = np.inf
         for _ in range(reps):
-            out = compiled(out)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / reps
+            t0 = time.time()
+            jax.block_until_ready(compiled(spec))
+            best = min(best, time.time() - t0)
+        dt = best / chain
         gps = grid.num_points * gp.nvars / dt
         peak = _PEAK_FLOPS.get(getattr(device, "device_kind", ""), None)
         mfu = (flops / dt / peak) if (peak and flops) else None
