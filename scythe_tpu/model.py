@@ -119,6 +119,45 @@ def build_step(
             )
         sponge_ref = ctx.extras["sponge_ref"]
 
+    # Optional Sommerfeld (radiating) outer boundary: over the outer
+    # ``radiation_width`` meters, blend the model tendency toward the
+    # one-way outgoing wave equation d(phi')/dt = -c d(phi')/dr on the
+    # perturbation from the filtered initial state, with c the external
+    # gravity-wave speed (options['radiation_speed'], default sqrt(g*H) /
+    # sqrt(g*Hfree)).  Where the sponge merely damps what reaches the
+    # boundary, this advects it out — removing the reflection itself
+    # (flow-relaxation form of Orlanski 1976).  The two compose: radiation
+    # carries the wave through, a sponge cleans up the slow remainder.
+    # Off by default — the reference has neither.
+    rad_blend = None
+    rad_ref_dr = None
+    rad_c = 0.0
+    rad_w = float(opts.get("radiation_width", 0.0) or 0.0)
+    if rad_w > 0.0:
+        rad_c = opts.get("radiation_speed")
+        if rad_c is None:
+            g_ = ctx.params.get("g")
+            H_ = ctx.params.get("H", ctx.params.get("Hfree"))
+            if g_ is None or H_ is None:
+                raise ValueError(
+                    "options['radiation_width'] needs options['radiation_speed'] "
+                    "or physical params g and H/Hfree to infer the gravity-wave "
+                    "speed"
+                )
+            rad_c = float(np.sqrt(float(g_) * float(H_)))
+        rad_c = float(rad_c)
+        r = ctx.coords["r"]
+        ramp = jnp.clip((r - (p.xmax - rad_w)) / rad_w, 0.0, 1.0)
+        rad_blend = (jnp.sin(0.5 * jnp.pi * ramp) ** 2).astype(dtype)
+        if "radiation_ref_dr" not in ctx.extras:
+            raise ValueError(
+                "options['radiation_width'] needs ctx.extras['radiation_ref_dr'] "
+                "(d/dr of the filtered initial state) — initialize()/"
+                "initialize_sharded() set it; drivers that cannot (e.g. "
+                "integrate_ensemble) do not support radiation configurations"
+            )
+        rad_ref_dr = ctx.extras["radiation_ref_dr"]
+
     def step(state: ti.ModelState) -> ti.ModelState:
         fields = synthesis_fn(state.spec)
         res = eqset(fields, ctx)
@@ -126,6 +165,9 @@ def build_step(
         for v, arr in res.overrides.items():
             phys = phys.at[v].set(arr)
         expdot = res.expdot
+        if rad_blend is not None:
+            rad_dot = -rad_c * (fields["dr"] - rad_ref_dr)
+            expdot = (1.0 - rad_blend)[None] * expdot + rad_blend[None] * rad_dot
         if sponge_sigma is not None:
             expdot = expdot - sponge_sigma[None] * (phys - sponge_ref)
         var_np1, e_nm1, e_nm2 = ti.explicit_step(
@@ -197,12 +239,24 @@ def initialize(model: ModelParameters, dtype=None):
     ctx = build_context(model, grid, dtype)
     phys0 = sio.read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
-    if float(ctx.options.get("sponge_width", 0.0) or 0.0) > 0.0:
-        # relax toward the filtered initial state (what the spline space
-        # actually represents), not the raw ICs
-        ctx.extras["sponge_ref"] = grid.synthesis(spec0)["val"]
+    _set_boundary_refs(ctx, grid, spec0)
     state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
     return grid, ctx, state
+
+
+def _set_boundary_refs(ctx, grid, spec0):
+    """Reference-state extras for the optional outer-boundary treatments:
+    both relax toward / radiate against the *filtered* initial state (what
+    the spline space actually represents), not the raw ICs."""
+    need_sponge = float(ctx.options.get("sponge_width", 0.0) or 0.0) > 0.0
+    need_rad = float(ctx.options.get("radiation_width", 0.0) or 0.0) > 0.0
+    if not (need_sponge or need_rad):
+        return
+    fields0 = grid.synthesis(spec0)
+    if need_sponge:
+        ctx.extras["sponge_ref"] = fields0["val"]
+    if need_rad:
+        ctx.extras["radiation_ref_dr"] = fields0["dr"]
 
 
 def integrate_model(

@@ -385,8 +385,9 @@ def initialize_sharded(model, mesh: Mesh, dtype=None, method="psum", matmul="aut
     ctx = build_context(model, grid, dtype)
     phys0 = sio.read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
-    if float(ctx.options.get("sponge_width", 0.0) or 0.0) > 0.0:
-        ctx.extras["sponge_ref"] = grid.synthesis(spec0)["val"]
+    from ..model import _set_boundary_refs
+
+    _set_boundary_refs(ctx, grid, spec0)
     if method == "halo":
         spec0 = spec_to_blocks(spec0, n, grid.params.num_cells // n)
     state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
