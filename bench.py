@@ -161,6 +161,47 @@ def rlz_transform_bench(device, dtype, reps=4, chain=50):
         )
 
 
+def ensemble_bench(device, dtype, members=16, n_steps=30, reps=3):
+    """Aggregate throughput of a vmapped ensemble of the flagship config
+    (`integrate_ensemble`, the production parameter-study / serving mode):
+    members batch through every transform GEMM, fattening MXU work."""
+    import jax
+    import jax.numpy as jnp
+
+    with jax.default_device(device):
+        model, grid, step, state = build(dtype=dtype)
+        amps = jnp.asarray(1.0 + np.arange(members) / 100.0, dtype)
+        states = jax.tree.map(
+            lambda x: jnp.stack([x] * members), state
+        )._replace(
+            spec=state.spec[None]
+            * amps[:, None, None, None].astype(state.spec.dtype)
+        )
+
+        def member(st):
+            out, _ = jax.lax.scan(
+                lambda s, _: (step(s), None), st, None, length=n_steps
+            )
+            return out
+
+        run = jax.jit(jax.vmap(member))
+        t0 = time.time()
+        out = jax.block_until_ready(run(states))
+        compile_s = time.time() - t0
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            jax.block_until_ready(run(states))
+            best = min(best, time.time() - t0)
+        if not np.isfinite(np.asarray(out.spec)).all():
+            raise FloatingPointError("ensemble bench produced non-finite state")
+        return dict(
+            members=members,
+            grid_point_steps_per_s=members * grid.num_points * n_steps / best,
+            compile_s=compile_s,
+        )
+
+
 def scaling_bench(n_steps=20):
     """Weak scaling over however many devices are visible (virtual CPU
     mesh in this container; real ICI mesh on a pod).  Uses the scalable
@@ -313,6 +354,12 @@ def main():
     rlz = rlz_transform_bench(accel, jnp.float32 if on_accel else jnp.float64)
     print(f"RLZ transforms: {rlz}", file=sys.stderr)
     try:
+        ens = ensemble_bench(accel, jnp.float32 if on_accel else jnp.float64)
+    except Exception as e:  # secondary: never fail the bench line
+        print(f"ensemble bench skipped: {e}", file=sys.stderr)
+        ens = None
+    print(f"ensemble (16 members): {ens}", file=sys.stderr)
+    try:
         scaling = _scaling_subprocess()
     except Exception as e:  # scaling is secondary: never fail the bench line
         print(f"scaling bench skipped: {e}", file=sys.stderr)
@@ -330,6 +377,10 @@ def main():
             round(rlz["mfu_est"], 4) if rlz["mfu_est"] else None
         ),
     }
+    if ens:
+        extra["ensemble16_grid_point_steps_per_s"] = round(
+            ens["grid_point_steps_per_s"], 1
+        )
     if scaling:
         extra["weak_scaling_eff_cpu8"] = scaling
     print(
