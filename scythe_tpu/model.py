@@ -443,15 +443,35 @@ def run_loop(
     return grid, phys
 
 
-def integrate_ensemble(model: ModelParameters, ics: np.ndarray, dtype=None):
+def integrate_ensemble(
+    model: ModelParameters, ics: np.ndarray, dtype=None, mesh=None
+):
     """Run a vmapped ensemble of initial conditions through the model.
 
     ``ics``: [n_members, nvars, *spatial] physical initial conditions.
     Returns final physical fields [n_members, nvars, *spatial].  Ensemble
     members batch through every transform GEMM (larger, better-utilized
     MXU work) — a JAX-native capability with no reference counterpart.
+
+    ``mesh``: optional single-axis `jax.sharding.Mesh`
+    (`parallel.sharding.make_ensemble_mesh()`): members are sharded across
+    its devices.  Members are independent, so XLA partitions the program
+    with zero inter-chip communication — embarrassingly-parallel weak
+    scaling over however many chips the mesh spans.  `n_members` must be
+    divisible by the mesh size.
     """
     dtype = dtype or default_dtype()
+    sharding_in = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        if len(ics) % mesh.shape[axis]:
+            raise ValueError(
+                f"n_members={len(ics)} must be divisible by the "
+                f"{mesh.shape[axis]}-device ensemble mesh"
+            )
+        sharding_in = NamedSharding(mesh, PartitionSpec(axis))
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
     step = build_step(model, grid, ctx, dtype)
@@ -467,7 +487,12 @@ def integrate_ensemble(model: ModelParameters, ics: np.ndarray, dtype=None):
         out, _ = jax.lax.scan(body, state, None, length=num_ts)
         return grid.synthesis(out.spec)["val"]
 
-    run = jax.jit(jax.vmap(member))
-    out = np.asarray(run(jnp.asarray(ics, dtype)))
+    arr = jnp.asarray(ics, dtype)
+    if sharding_in is not None:
+        arr = jax.device_put(arr, sharding_in)
+        run = jax.jit(jax.vmap(member), out_shardings=sharding_in)
+    else:
+        run = jax.jit(jax.vmap(member))
+    out = np.asarray(run(arr))
     sio.check_cfl(grid, out.reshape((-1,) + grid.spatial_shape))
     return grid, out

@@ -47,6 +47,18 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
+ENSEMBLE_AXIS = "e"
+
+
+def make_ensemble_mesh(n_devices: int | None = None) -> Mesh:
+    """Single-axis mesh for `model.integrate_ensemble(..., mesh=...)`:
+    ensemble members shard across devices with zero inter-chip
+    communication (members are independent)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (ENSEMBLE_AXIS,))
+
+
 def gather_global(x) -> np.ndarray:
     """Device array (possibly sharded across processes) -> host numpy.
 

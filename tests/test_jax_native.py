@@ -104,3 +104,26 @@ def test_integrate_ensemble_api(tmp_path):
     # members shift-invariance: member 0 equals member 2 shifted back
     # (periodic domain, same dynamics) -- weak check: same max amplitude
     assert np.allclose(out.max(axis=-1)[:, 0], out.max(axis=-1)[0, 0], atol=1e-8)
+
+
+def test_integrate_ensemble_sharded_matches_single(tmp_path):
+    """Members as a mesh axis (make_ensemble_mesh): XLA partitions the
+    vmapped program with zero inter-chip communication; the 8-device
+    sharded ensemble must reproduce the unsharded one member-for-member."""
+    from scythe_tpu.model import integrate_ensemble
+    from scythe_tpu.parallel.sharding import make_ensemble_mesh
+
+    model, grid, _ = _advection()
+    model = model.with_(integration_time=1.0)
+    r = np.asarray(grid.r_mish)
+    shifts = np.linspace(-7.0, 7.0, 8)
+    ics = np.exp(-(((r[None, None, :] - shifts[:, None, None]) / 15.0) ** 2))
+    _, ref = integrate_ensemble(model, ics, dtype=jnp.float64)
+    mesh = make_ensemble_mesh(8)
+    _, out = integrate_ensemble(model, ics, dtype=jnp.float64, mesh=mesh)
+    np.testing.assert_allclose(out, ref, atol=1e-13)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        integrate_ensemble(model, ics[:3], dtype=jnp.float64, mesh=mesh)
