@@ -19,6 +19,7 @@ __all__ = [
     "Grid",
     "create_grid",
     "integrate_model",
+    "make_simulator",
 ]
 
 
@@ -28,3 +29,12 @@ def integrate_model(model, **kw):
     from .model import integrate_model as _run
 
     return _run(model, **kw)
+
+
+def make_simulator(model, **kw):
+    """Differentiable end-to-end simulator (adjoint.make_simulator): a pure
+    sim(params, phys0) -> final fields for jax.grad/jit/vmap.  No reference
+    counterpart — enabled by the functional re-architecture."""
+    from .adjoint import make_simulator as _mk
+
+    return _mk(model, **kw)
