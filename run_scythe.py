@@ -55,6 +55,14 @@ def parse_args(argv=None):
         "meshes) or halo (Schur solve, O(halo) comms, scalable)",
     )
     p.add_argument(
+        "--shard-interface",
+        choices=["auto", "gather", "pcr"],
+        default="auto",
+        help="halo-method interface solve: gather (all_gather + dense "
+        "inverse rows, O(n)) or pcr (parallel cyclic reduction, O(log n) "
+        "ppermutes); auto = pcr at n >= 16",
+    )
+    p.add_argument(
         "--format",
         choices=["csv", "nc"],
         default=None,
@@ -118,6 +126,7 @@ def main(argv=None):
             args.devices,
             dtype,
             method=args.shard_method,
+            interface=args.shard_interface,
             resume_from=args.resume_from,
             profile_dir=args.profile_dir,
         )

@@ -38,6 +38,16 @@ window, never the full spectral array.  The result is EXACTLY the global
 filtered least-squares analysis (same linear system, different elimination
 order), verified to 1e-12 against the dense path in tests/test_schur.py.
 
+For shard counts past O(10), the interface gather itself becomes the O(n)
+term; ``build_pcr_ops`` replaces it with distributed parallel cyclic
+reduction of the block-tridiagonal interface system — O(log n) ppermutes
+of 3-row slabs, and measured <= 3 levels for ANY n (the B-spline interface
+Schur complement is strongly diagonally dominant, so couplings decay
+quadratically per level): per-chip interface communication is O(1) in
+practice.  Exact for non-periodic partitions and power-of-two cyclic ones;
+convergent to machine roundoff otherwise (asserted at build time).
+Selected via ``interface="pcr"`` (auto at n >= 16) in parallel/sharding.py.
+
 Layout: the per-shard spectral state is the raw-coefficient "window"
 ``[i*cl, i*cl + cl + 3)`` (owned rows + 3 halo rows duplicating the right
 neighbor's first owned rows; cyclic for the last shard).  The window is
@@ -108,10 +118,8 @@ def _pad(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return out
 
 
-def build_schur_ops(params: GridParameters, n: int) -> SchurOps:
-    """Precompute the distributed-solve matrices for ``n`` radial shards."""
-    p = params
-    nc, nb = p.num_cells, p.b_rDim
+def _check_partition(p: GridParameters, n: int) -> int:
+    nc = p.num_cells
     if n < 2:
         raise ValueError("Schur path needs >= 2 shards")
     if nc % n != 0:
@@ -119,6 +127,58 @@ def build_schur_ops(params: GridParameters, n: int) -> SchurOps:
     cl = nc // n
     if cl < 4:
         raise ValueError(f"need >= 4 cells per shard, got {cl}")
+    return cl
+
+
+def _var_interface(p: GridParameters, v: int, n: int, cl: int):
+    """Per-variable partition + eliminated interface system.
+
+    Returns ``(ops, seps, ints, s_pos, S_ext)`` where ``S_ext`` is the
+    block-tridiagonal (cyclic for PERIODIC) [3n, 3n] interface Schur
+    complement with cut k at rows 3k..3k+2; absent cuts (cut 0 of
+    non-periodic grids) are identity rows."""
+    ops = bspline.build_ops(p.xmin, p.xmax, p.num_cells, p.BCL[v], p.BCR[v], p.l_q)
+    T, M = ops.T, ops.mmat
+    K = T.shape[1]
+    periodic = p.BCL[v] == BC.PERIODIC
+    d_l = 0 if periodic else (3 - {
+        BC.R0: 3, BC.R1T0: 2, BC.R1T1: 2, BC.R1T2: 2,
+        BC.R2T10: 1, BC.R2T20: 1, BC.R3: 0,
+    }[p.BCL[v]])
+    seps, ints = _index_sets(K, n, cl, d_l, periodic)
+
+    # global interface numbering: cut k -> rows 3k..3k+2
+    Sall = np.concatenate(seps)
+    s_pos = {}  # constrained index -> global interface row
+    for k in range(n):
+        for j, c in enumerate(seps[k]):
+            s_pos[c] = 3 * k + j
+
+    # interface Schur complement over present cuts, embedded in [3n,3n]
+    Iall = np.concatenate(ints)
+    Aii = M[np.ix_(Iall, Iall)]
+    # interiors of different shards must not couple (bandwidth check)
+    off = 0
+    for k in range(n):
+        sz = len(ints[k])
+        blk = Aii[off : off + sz, :]
+        outside = np.delete(blk, np.s_[off : off + sz], axis=1)
+        assert np.all(outside == 0.0), "interior blocks must decouple"
+        off += sz
+    Ssub = M[np.ix_(Sall, Sall)] - M[np.ix_(Sall, Iall)] @ np.linalg.solve(
+        Aii, M[np.ix_(Iall, Sall)]
+    )
+    S_ext = np.eye(3 * n)
+    rows = np.array([s_pos[c] for c in Sall])
+    S_ext[np.ix_(rows, rows)] = Ssub
+    return ops, seps, ints, s_pos, S_ext
+
+
+def build_schur_ops(params: GridParameters, n: int) -> SchurOps:
+    """Precompute the distributed-solve matrices for ``n`` radial shards."""
+    p = params
+    nc, nb = p.num_cells, p.b_rDim
+    cl = _check_partition(p, n)
     W = cl + HALO
     Imax = cl
     nv = p.nvars
@@ -130,42 +190,8 @@ def build_schur_ops(params: GridParameters, n: int) -> SchurOps:
     AC = np.zeros((n, nv, W, 6))
 
     for v in range(nv):
-        ops = bspline.build_ops(p.xmin, p.xmax, nc, p.BCL[v], p.BCR[v], p.l_q)
+        ops, seps, ints, s_pos, S_ext = _var_interface(p, v, n, cl)
         T, M = ops.T, ops.mmat
-        K = T.shape[1]
-        periodic = p.BCL[v] == BC.PERIODIC
-        d_l = 0 if periodic else (3 - {
-            BC.R0: 3, BC.R1T0: 2, BC.R1T1: 2, BC.R1T2: 2,
-            BC.R2T10: 1, BC.R2T20: 1, BC.R3: 0,
-        }[p.BCL[v]])
-        seps, ints = _index_sets(K, n, cl, d_l, periodic)
-
-        # global interface numbering: cut k -> rows 3k..3k+2
-        Sall = np.concatenate(seps)
-        s_pos = {}  # constrained index -> global interface row
-        pos = 0
-        for k in range(n):
-            for j, c in enumerate(seps[k]):
-                s_pos[c] = 3 * k + j
-            pos += len(seps[k])
-
-        # interface Schur complement over present cuts, embedded in [3n,3n]
-        Iall = np.concatenate(ints)
-        Aii = M[np.ix_(Iall, Iall)]
-        # interiors of different shards must not couple (bandwidth check)
-        off = 0
-        for k in range(n):
-            sz = len(ints[k])
-            blk = Aii[off : off + sz, :]
-            outside = np.delete(blk, np.s_[off : off + sz], axis=1)
-            assert np.all(outside == 0.0), "interior blocks must decouple"
-            off += sz
-        Ssub = M[np.ix_(Sall, Sall)] - M[np.ix_(Sall, Iall)] @ np.linalg.solve(
-            Aii, M[np.ix_(Iall, Sall)]
-        )
-        S_ext = np.eye(3 * n)
-        rows = np.array([s_pos[c] for c in Sall])
-        S_ext[np.ix_(rows, rows)] = Ssub
         S_inv = np.linalg.inv(S_ext)
 
         for i in range(n):
@@ -223,13 +249,166 @@ def build_schur_ops(params: GridParameters, n: int) -> SchurOps:
     return SchurOps(n=n, cl=cl, W=W, GL=GL, GRr=GRr, CS=CS, AP=AP, AC=AC)
 
 
+# ---------------------------------------------------------------------------
+# Parallel cyclic reduction (PCR) of the block-tridiagonal interface system:
+# replaces the 3-rows-per-shard all_gather + dense [6, 3n] interface matvec
+# with O(log n) ppermutes of 3-row slabs — per-chip interface communication
+# and memory drop from O(n) to O(log n), the shape needed past O(100) cuts.
+
+
+@dataclass(frozen=True)
+class PCROps:
+    """Per-level PCR elimination matrices (numpy float64).
+
+    Level k (distance ``dists[k]``, the recurrence d_0 = 1,
+    d_{k+1} = 2 d_k mod n) updates each shard's interface RHS block as
+    ``y_i += A[k,i] @ y_{(i-d) % n} + B[k,i] @ y_{(i+d) % n}``; after all
+    levels the system is block-diagonal and ``c_i = Dinv[i] @ y_i``.
+    """
+
+    n: int
+    levels: int
+    dists: tuple  # [levels] ppermute distances
+    A: np.ndarray  # [levels, n, v, 3, 3]
+    B: np.ndarray  # [levels, n, v, 3, 3]
+    Dinv: np.ndarray  # [n, v, 3, 3]
+
+
+def build_pcr_ops(params: GridParameters, n: int, tol: float = 1e-28) -> PCROps:
+    """Precompute PCR elimination matrices for the [3n, 3n] interface system.
+
+    The reduction is matrix-driven: each level eliminates the couplings at
+    block distance d = 2**k using the actual reduced matrix, so any block
+    structure reachable by the update rule is handled exactly.  For
+    non-periodic grids (zero out-of-range blocks) and periodic grids with
+    power-of-two ``n`` the reduction terminates exactly in ceil(log2 n)
+    levels; for periodic non-power-of-two ``n`` couplings decay
+    quadratically instead (diagonally dominant Gram Schur complement), so a
+    few extra levels drive them below roundoff — the final block-diagonality
+    is asserted against ``tol`` either way."""
+    p = params
+    cl = _check_partition(p, n)
+    nv = p.nvars
+    base = max(1, int(np.ceil(np.log2(n))))
+    max_levels = base + 8
+
+    per_var = []  # (A_levels, B_levels, Dinv[n,3,3])
+    blk = lambda S, i, j: S[3 * i : 3 * i + 3, 3 * j : 3 * j + 3]
+    for v in range(nv):
+        _, _, _, _, S = _var_interface(p, v, n, cl)
+        A_lvls, B_lvls = [], []
+        d = 1
+        for k in range(max_levels):
+            offdiag = max(
+                (np.abs(blk(S, i, j)).max() if i != j else 0.0)
+                for i in range(n)
+                for j in range(n)
+                if np.any(blk(S, i, j))
+            ) if n > 1 else 0.0
+            diag = max(np.abs(blk(S, i, i)).max() for i in range(n))
+            if offdiag <= np.sqrt(tol) * diag or d == 0:
+                break
+            Ak = np.zeros((n, 3, 3))
+            Bk = np.zeros((n, 3, 3))
+            Snew = np.zeros_like(S)
+            for i in range(n):
+                im, ip = (i - d) % n, (i + d) % n
+                nz = lambda bb: np.abs(bb).max() > 1e-13 * diag
+                support = {
+                    j for j in range(n) if nz(blk(S, i, j)) and j != i
+                }
+                if not support <= {im, ip}:
+                    raise ValueError(
+                        f"PCR level {k}: row {i} couples blocks {support} "
+                        f"outside {{{im},{ip}}} — unsupported partition"
+                    )
+                a = np.zeros((3, 3))
+                b = np.zeros((3, 3))
+                if im != i and nz(blk(S, i, im)):
+                    a = -blk(S, i, im) @ np.linalg.inv(blk(S, im, im))
+                if ip != i and ip != im and nz(blk(S, i, ip)):
+                    b = -blk(S, i, ip) @ np.linalg.inv(blk(S, ip, ip))
+                Ak[i], Bk[i] = a, b
+                row = S[3 * i : 3 * i + 3, :].copy()
+                row += a @ S[3 * im : 3 * im + 3, :]
+                row += b @ S[3 * ip : 3 * ip + 3, :]
+                Snew[3 * i : 3 * i + 3, :] = row
+            # clip eliminated-block roundoff so support stays sparse
+            for i in range(n):
+                for j in range(n):
+                    if i != j and np.abs(blk(Snew, i, j)).max() <= 1e-13 * diag:
+                        Snew[3 * i : 3 * i + 3, 3 * j : 3 * j + 3] = 0.0
+            S = Snew
+            A_lvls.append(Ak)
+            B_lvls.append(Bk)
+            d = (2 * d) % n
+        # assert block-diagonal to tolerance
+        for i in range(n):
+            for j in range(n):
+                if i != j and np.abs(blk(S, i, j)).max() > np.sqrt(tol) * max(
+                    1.0, np.abs(blk(S, i, i)).max()
+                ):
+                    raise ValueError(
+                        f"PCR did not converge for var {v}: residual "
+                        f"coupling ({i},{j}) = {np.abs(blk(S, i, j)).max():.2e}"
+                    )
+        Dinv = np.stack([np.linalg.inv(blk(S, i, i)) for i in range(n)])
+        per_var.append((A_lvls, B_lvls, Dinv))
+
+    levels = max(len(a) for a, _, _ in per_var)
+    dists = []
+    d = 1
+    for _ in range(levels):
+        dists.append(d)
+        d = (2 * d) % n
+    A = np.zeros((levels, n, nv, 3, 3))
+    B = np.zeros((levels, n, nv, 3, 3))
+    Dinv = np.zeros((n, nv, 3, 3))
+    for v, (A_l, B_l, Dv) in enumerate(per_var):
+        for k in range(len(A_l)):
+            A[k, :, v] = A_l[k]
+            B[k, :, v] = B_l[k]
+        # vars that converged early: identity levels (A=B=0) are no-ops
+        Dinv[:, v] = Dv
+    return PCROps(n=n, levels=levels, dists=tuple(dists), A=A, B=B, Dinv=Dinv)
+
+
+def numpy_pcr_interface(ops: PCROps, g: np.ndarray) -> np.ndarray:
+    """Numpy emulation of the distributed PCR interface solve.
+
+    ``g``: [n, v, 3, ...] per-shard interface RHS blocks (as produced by the
+    GL/GRr stage).  Returns ``c6`` [n, v, 6, ...]: each shard's own cut
+    solution stacked with its right neighbor's — exactly what the gather
+    path's CS matvec yields."""
+    n = ops.n
+    y = g.copy()
+    for k in range(ops.levels):
+        d = ops.dists[k]
+        y_prev = np.stack([y[(i - d) % n] for i in range(n)])
+        y_next = np.stack([y[(i + d) % n] for i in range(n)])
+        y = (
+            y
+            + np.einsum("ivab,ivb...->iva...", ops.A[k], y_prev)
+            + np.einsum("ivab,ivb...->iva...", ops.B[k], y_next)
+        )
+    c = np.einsum("ivab,ivb...->iva...", ops.Dinv, y)
+    c_next = np.stack([c[(i + 1) % n] for i in range(n)])
+    return np.concatenate([c, c_next], axis=2)
+
+
 def numpy_sharded_analysis(
-    params: GridParameters, ops: SchurOps, phys: np.ndarray
+    params: GridParameters,
+    ops: SchurOps,
+    phys: np.ndarray,
+    pcr: PCROps | None = None,
 ) -> np.ndarray:
     """Sequential numpy emulation of the distributed analysis: shard the
     physical field, run projections + the 5-matrix Schur pipeline exactly as
     the shard_map path does (including the two ppermutes and the gather),
-    and reassemble the canonical spectral array.  Ground truth for tests."""
+    and reassemble the canonical spectral array.  Ground truth for tests.
+
+    ``pcr``: replace the gather + CS interface solve with the O(log n)
+    parallel-cyclic-reduction emulation (``numpy_pcr_interface``)."""
     p = params
     n, cl, W = ops.n, ops.cl, ops.W
     nb = p.b_rDim
@@ -262,9 +441,12 @@ def numpy_sharded_analysis(
     for i in range(n):
         g[(i + 1) % n] += gr[i]
 
-    # gather + per-shard interface solve
-    g_all = np.moveaxis(g, 0, 1).reshape((nv, 3 * n) + trailing)  # [v, 3n, ...]
-    c6 = np.einsum("ivsg,vg...->ivs...", ops.CS, g_all)
+    # interface solve: gather + CS matvec, or distributed PCR
+    if pcr is not None:
+        c6 = numpy_pcr_interface(pcr, g)
+    else:
+        g_all = np.moveaxis(g, 0, 1).reshape((nv, 3 * n) + trailing)  # [v, 3n, ...]
+        c6 = np.einsum("ivsg,vg...->ivs...", ops.CS, g_all)
 
     # back-substitution to owned raw rows
     a_own = np.einsum("ivuw,ivw...->ivu...", ops.AP, p_own) + np.einsum(

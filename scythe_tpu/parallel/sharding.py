@@ -183,23 +183,49 @@ def _take_shard(arr, idx, comp: bool):
     return jax.lax.squeeze(sl, (off,))
 
 
+# shard counts at/above which the halo path defaults to the PCR interface
+# solve (O(log n) 3-row ppermutes; measured <= 3 levels for any n) instead
+# of the 3-rows-per-shard all_gather + dense [6, 3n] matvec (O(n)).
+PCR_AUTO_MIN = 16
+
+
 class HaloOps:
     """Device-prepped Schur matrices (stacked over shards, through the
-    grid's matmul mode) + static partition facts."""
+    grid's matmul mode) + static partition facts.
 
-    def __init__(self, grid: Grid, n: int):
+    ``interface``: how the eliminated block-tridiagonal interface system is
+    solved at runtime — "gather" (all_gather + precomputed dense inverse
+    rows; comm O(n) per chip) or "pcr" (parallel cyclic reduction,
+    parallel/schur.py::build_pcr_ops; comm O(log n), in practice <= 3
+    3-row ppermute pairs for any n).  "auto" picks pcr for
+    n >= PCR_AUTO_MIN."""
+
+    def __init__(self, grid: Grid, n: int, interface: str = "auto"):
+        if interface == "auto":
+            interface = "pcr" if n >= PCR_AUTO_MIN else "gather"
+        if interface not in ("gather", "pcr"):
+            raise ValueError(f"unknown interface {interface!r}")
         sops = schur_mod.build_schur_ops(grid.params, n)
         prep = (
             _split3
             if grid.comp
             else (lambda a: jnp.asarray(np.asarray(a), grid.dtype))
         )
+        self.interface = interface
         self.n, self.cl, self.W = sops.n, sops.cl, sops.W
         self.GL = prep(sops.GL)
         self.GRr = prep(sops.GRr)
-        self.CS = prep(sops.CS)
         self.AP = prep(sops.AP)
         self.AC = prep(sops.AC)
+        if interface == "pcr":
+            pops = schur_mod.build_pcr_ops(grid.params, n)
+            self.levels = pops.levels
+            self.dists = pops.dists
+            self.A = [prep(pops.A[k]) for k in range(pops.levels)]
+            self.B = [prep(pops.B[k]) for k in range(pops.levels)]
+            self.Dinv = prep(pops.Dinv)
+        else:
+            self.CS = prep(sops.CS)
 
 
 def _window_grid(grid: Grid, idx, n: int) -> Grid:
@@ -252,12 +278,33 @@ def _halo_analysis(grid: Grid, wg: Grid, hops: HaloOps, idx, phys):
     gr = grid._mm("vsw,vw...->vs...", GRr, p_own)
     g = g + jax.lax.ppermute(gr, AXIS, right)
 
-    g_all = jax.lax.all_gather(g, AXIS, axis=0)  # [n, v, 3, ...]
-    g_flat = jnp.moveaxis(g_all, 0, 1).reshape(
-        (g.shape[0], 3 * n) + g.shape[2:]
-    )
-    CS = _take_shard(hops.CS, idx, grid.comp)
-    c6 = grid._mm("vsg,vg...->vs...", CS, g_flat)
+    if hops.interface == "pcr":
+        # parallel cyclic reduction: O(log n) 3-row ppermute pairs
+        y = g
+        for k in range(hops.levels):
+            dk = hops.dists[k]
+            to_right = [(i, (i + dk) % n) for i in range(n)]
+            to_left = [(i, (i - dk) % n) for i in range(n)]
+            y_prev = jax.lax.ppermute(y, AXIS, to_right)  # delivers y_{i-d}
+            y_next = jax.lax.ppermute(y, AXIS, to_left)  # delivers y_{i+d}
+            Ak = _take_shard(hops.A[k], idx, grid.comp)
+            Bk = _take_shard(hops.B[k], idx, grid.comp)
+            y = (
+                y
+                + grid._mm("vab,vb...->va...", Ak, y_prev)
+                + grid._mm("vab,vb...->va...", Bk, y_next)
+            )
+        Dinv = _take_shard(hops.Dinv, idx, grid.comp)
+        c = grid._mm("vab,vb...->va...", Dinv, y)
+        c_next = jax.lax.ppermute(c, AXIS, left)  # delivers c_{i+1}
+        c6 = jnp.concatenate([c, c_next], axis=1)
+    else:
+        g_all = jax.lax.all_gather(g, AXIS, axis=0)  # [n, v, 3, ...]
+        g_flat = jnp.moveaxis(g_all, 0, 1).reshape(
+            (g.shape[0], 3 * n) + g.shape[2:]
+        )
+        CS = _take_shard(hops.CS, idx, grid.comp)
+        c6 = grid._mm("vsg,vg...->vs...", CS, g_flat)
 
     AP = _take_shard(hops.AP, idx, grid.comp)
     AC = _take_shard(hops.AC, idx, grid.comp)
@@ -268,7 +315,9 @@ def _halo_analysis(grid: Grid, wg: Grid, hops: HaloOps, idx, phys):
     return a_own.at[:, cl:].add(head * (1.0 - is_last))
 
 
-def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh, method="psum"):
+def build_sharded_step(
+    model, grid: Grid, ctx, dtype, mesh: Mesh, method="psum", interface="auto"
+):
     """Shard-mapped single step.  Returns step(state) -> state (not jitted;
     compose with model.make_scan).
 
@@ -279,12 +328,13 @@ def build_sharded_step(model, grid: Grid, ctx, dtype, mesh: Mesh, method="psum")
     * "halo" (scalable): spectral state sharded as per-shard coefficient
       windows; analysis = Schur-complement distributed solve with O(halo)
       communication (parallel/schur.py).  Bit-compatible physics, solution
-      equal to "psum" to roundoff.
+      equal to "psum" to roundoff.  ``interface`` selects the interface
+      solve: "gather" / "pcr" / "auto" (see HaloOps).
     """
     n = mesh.shape[AXIS]
     _check_divisible(grid, n)
     rows = grid.params.rDim // n
-    hops = HaloOps(grid, n) if method == "halo" else None
+    hops = HaloOps(grid, n, interface) if method == "halo" else None
 
     def body(spec, e1, e2, i1, i2, t):
         idx = jax.lax.axis_index(AXIS)
@@ -339,6 +389,7 @@ def integrate_sharded(
     n_devices: int,
     dtype=None,
     method="psum",
+    interface="auto",
     write_outputs=True,
     resume_from: str | None = None,
     profile_dir: str | None = None,
@@ -346,7 +397,8 @@ def integrate_sharded(
     """Sharded analog of model.integrate_model with full driver parity:
     same output cadence, watchdog, scythe_out.log, binary checkpoints,
     bitwise resume, and profiler trace — radial dimension split over
-    ``n_devices`` using the selected analysis ``method``."""
+    ``n_devices`` using the selected analysis ``method`` (and, for
+    method="halo", the selected interface solve)."""
     from ..model import default_dtype, logged_run, run_loop
 
     dtype = dtype or default_dtype()
@@ -354,7 +406,7 @@ def integrate_sharded(
     n = mesh.shape[AXIS]
     with logged_run(model, profile_dir):
         grid, ctx, state = initialize_sharded(model, mesh, dtype, method)
-        step = build_sharded_step(model, grid, ctx, dtype, mesh, method)
+        step = build_sharded_step(model, grid, ctx, dtype, mesh, method, interface)
         cl = grid.params.num_cells // n
         to_canonical = None
         from_canonical = None

@@ -45,15 +45,43 @@ def _dense_analysis(p, phys):
     ],
 )
 @pytest.mark.parametrize("n", [2, 4, 8])
-def test_schur_matches_dense(bcl, bcr, n):
+@pytest.mark.parametrize("interface", ["gather", "pcr"])
+def test_schur_matches_dense(bcl, bcr, n, interface):
     p = _params(32, bcl, bcr)
     ops = schur.build_schur_ops(p, n)
+    pcr = schur.build_pcr_ops(p, n) if interface == "pcr" else None
     rng = np.random.default_rng(42)
     phys = rng.normal(size=(p.nvars, p.rDim))
     want = _dense_analysis(p, phys)
-    got = schur.numpy_sharded_analysis(p, ops, phys)
+    got = schur.numpy_sharded_analysis(p, ops, phys, pcr=pcr)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 1e-12
+
+
+@pytest.mark.parametrize(
+    "num_cells,n,bcl,bcr",
+    [
+        (256, 64, BC.R1T0, BC.R0),  # pod-scale shard count
+        (256, 64, BC.PERIODIC, BC.PERIODIC),
+        (24, 6, BC.PERIODIC, BC.PERIODIC),  # non-power-of-two cyclic
+        (512, 128, BC.R1T0, BC.R0),
+    ],
+)
+def test_pcr_large_shard_counts(num_cells, n, bcl, bcr):
+    """PCR interface solve at shard counts far past the gather path's O(n)
+    comfort zone.  Also pins the measured convergence depth: the B-spline
+    interface Schur complement is so diagonally dominant that couplings die
+    in <= 3 levels regardless of n, i.e. per-chip interface communication
+    is O(1) 3-row slabs."""
+    p = _params(num_cells, bcl, bcr)
+    ops = schur.build_schur_ops(p, n)
+    pcr = schur.build_pcr_ops(p, n)
+    assert pcr.levels <= 4
+    rng = np.random.default_rng(7)
+    phys = rng.normal(size=(p.nvars, p.rDim))
+    want = _dense_analysis(p, phys)
+    got = schur.numpy_sharded_analysis(p, ops, phys, pcr=pcr)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
 
 
 def test_schur_trailing_axes():

@@ -172,13 +172,16 @@ _moist_rz_setup = _rz_setup(
 )
 
 
-@pytest.mark.parametrize("method", ["psum", "halo"])
+@pytest.mark.parametrize("method", ["psum", "halo", "halo-pcr"])
 @pytest.mark.parametrize(
     "setup", [_advection_setup, _slab_setup, _euler_rz_setup, _moist_rz_setup]
 )
 def test_sharded_matches_single(tmp_path, setup, method):
     model = setup(tmp_path)
     n_steps = 10
+    method, interface = (
+        ("halo", "pcr") if method == "halo-pcr" else (method, "gather")
+    )
 
     grid, ctx, state = initialize(model)
     step = build_step(model, grid, ctx, jnp.float64)
@@ -186,7 +189,9 @@ def test_sharded_matches_single(tmp_path, setup, method):
 
     mesh = sh.make_mesh(8)
     grid2, ctx2, state2 = sh.initialize_sharded(model, mesh, method=method)
-    sstep = sh.build_sharded_step(model, grid2, ctx2, jnp.float64, mesh, method)
+    sstep = sh.build_sharded_step(
+        model, grid2, ctx2, jnp.float64, mesh, method, interface
+    )
     out = make_scan(sstep, n_steps)(state2)
 
     spec = np.asarray(out.spec)
