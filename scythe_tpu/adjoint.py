@@ -28,7 +28,14 @@ import jax.numpy as jnp
 from . import timeintegration as ti
 from .config import ModelParameters
 from .grids.base import create_grid
-from .model import _set_boundary_refs, build_context, build_step, default_dtype
+from .model import (
+    _pick_chunk,
+    _set_boundary_refs,
+    build_context,
+    build_step,
+    default_dtype,
+    infer_radiation_speed,
+)
 
 
 def make_simulator(
@@ -64,9 +71,24 @@ def make_simulator(
     storing them — required for long integrations.
     """
     dtype = dtype or default_dtype()
+    opts = model.opts()
+    if opts.get("radiation_width") and not opts.get("radiation_speed"):
+        # resolve the setup-time wave speed from the STATIC base params
+        # now, so traced params inside sim never reach the float() in
+        # build_step's radiation branch (the "baked in" promise above)
+        model = model.with_(
+            options={
+                **opts,
+                "radiation_speed": infer_radiation_speed(model.phys(), opts),
+            }
+        )
     grid = create_grid(model.grid_params, dtype)
     base_ctx = build_context(model, grid, dtype)
     n = model.num_ts if n_steps is None else int(n_steps)
+    # bounded scan lengths (CLAUDE.md): trace one <=384-step chunk once
+    # and scan over chunks — compile time stays flat in n even for the
+    # 28,800-step flagship, and per-step remat still bounds memory
+    chunk = max(1, _pick_chunk(n))
 
     def sim(params: dict, phys0):
         phys0 = jnp.asarray(phys0, dtype)
@@ -84,7 +106,11 @@ def make_simulator(
         def body(s, _):
             return step_fn(s), None
 
-        out, _ = jax.lax.scan(body, state, None, length=n)
+        def chunk_body(s, _):
+            out, _ = jax.lax.scan(body, s, None, length=chunk)
+            return out, None
+
+        out, _ = jax.lax.scan(chunk_body, state, None, length=n // chunk)
         return grid.synthesis(out.spec)["val"]
 
     return sim, grid, base_ctx

@@ -47,6 +47,26 @@ def build_context(model: ModelParameters, grid: Grid, dtype) -> EqContext:
     )
 
 
+def infer_radiation_speed(params: dict, opts: dict) -> float:
+    """Static outgoing-wave speed for the Sommerfeld radiation strip:
+    options['radiation_speed'] if set, else sqrt(g·H) from the physical
+    params.  A setup-time scalar — callers with traced params (the
+    differentiable simulator, adjoint.make_simulator) must resolve it from
+    their static base values before tracing."""
+    rad_c = opts.get("radiation_speed")
+    if rad_c is None:
+        g_ = params.get("g")
+        H_ = params.get("H", params.get("Hfree"))
+        if g_ is None or H_ is None:
+            raise ValueError(
+                "options['radiation_width'] needs options['radiation_speed'] "
+                "or physical params g and H/Hfree to infer the gravity-wave "
+                "speed"
+            )
+        rad_c = float(np.sqrt(float(g_) * float(H_)))
+    return float(rad_c)
+
+
 def build_step(
     model: ModelParameters,
     grid: Grid,
@@ -134,18 +154,7 @@ def build_step(
     rad_c = 0.0
     rad_w = float(opts.get("radiation_width", 0.0) or 0.0)
     if rad_w > 0.0:
-        rad_c = opts.get("radiation_speed")
-        if rad_c is None:
-            g_ = ctx.params.get("g")
-            H_ = ctx.params.get("H", ctx.params.get("Hfree"))
-            if g_ is None or H_ is None:
-                raise ValueError(
-                    "options['radiation_width'] needs options['radiation_speed'] "
-                    "or physical params g and H/Hfree to infer the gravity-wave "
-                    "speed"
-                )
-            rad_c = float(np.sqrt(float(g_) * float(H_)))
-        rad_c = float(rad_c)
+        rad_c = infer_radiation_speed(ctx.params, opts)
         r = ctx.coords["r"]
         ramp = jnp.clip((r - (p.xmax - rad_w)) / rad_w, 0.0, 1.0)
         rad_blend = (jnp.sin(0.5 * jnp.pi * ramp) ** 2).astype(dtype)

@@ -84,7 +84,8 @@ class SchurOps:
     W: int  # window rows = cl + 3
     GL: np.ndarray  # [n, v, 3, W]   p_own -> own-cut interface partial
     GRr: np.ndarray  # [n, v, 3, W]  p_own -> right-cut partial (ppermuted)
-    CS: np.ndarray  # [n, v, 6, 3n]  gathered interface RHS -> (c_l, c_r)
+    CS: np.ndarray | None  # [n, v, 6, 3n] gathered interface RHS ->
+    # (c_l, c_r); None when built with include_cs=False (PCR interface)
     AP: np.ndarray  # [n, v, W, W]   p_own -> owned raw coeff rows (direct)
     AC: np.ndarray  # [n, v, W, 6]   cut solution -> owned raw coeff rows
 
@@ -174,8 +175,25 @@ def _var_interface(p: GridParameters, v: int, n: int, cl: int):
     return ops, seps, ints, s_pos, S_ext
 
 
-def build_schur_ops(params: GridParameters, n: int) -> SchurOps:
-    """Precompute the distributed-solve matrices for ``n`` radial shards."""
+def var_interfaces(params: GridParameters, n: int) -> list:
+    """Per-variable ``_var_interface`` results, computed once so HaloOps can
+    share the (expensive) interior eliminations between ``build_schur_ops``
+    and ``build_pcr_ops``."""
+    cl = _check_partition(params, n)
+    return [_var_interface(params, v, n, cl) for v in range(params.nvars)]
+
+
+def build_schur_ops(
+    params: GridParameters,
+    n: int,
+    ifaces: list | None = None,
+    include_cs: bool = True,
+) -> SchurOps:
+    """Precompute the distributed-solve matrices for ``n`` radial shards.
+
+    ``include_cs=False`` skips the dense interface inverse and the
+    [n, v, 6, 3n] CS array (O(n^2) memory) — used when the runtime solves
+    the interface by PCR instead of gather+matvec."""
     p = params
     nc, nb = p.num_cells, p.b_rDim
     cl = _check_partition(p, n)
@@ -185,14 +203,16 @@ def build_schur_ops(params: GridParameters, n: int) -> SchurOps:
 
     GL = np.zeros((n, nv, 3, W))
     GRr = np.zeros((n, nv, 3, W))
-    CS = np.zeros((n, nv, 6, 3 * n))
+    CS = np.zeros((n, nv, 6, 3 * n)) if include_cs else None
     AP = np.zeros((n, nv, W, W))
     AC = np.zeros((n, nv, W, 6))
 
+    if ifaces is None:
+        ifaces = var_interfaces(p, n)
     for v in range(nv):
-        ops, seps, ints, s_pos, S_ext = _var_interface(p, v, n, cl)
+        ops, seps, ints, s_pos, S_ext = ifaces[v]
         T, M = ops.T, ops.mmat
-        S_inv = np.linalg.inv(S_ext)
+        S_inv = np.linalg.inv(S_ext) if include_cs else None
 
         for i in range(n):
             sep_i, int_i = seps[i], ints[i]
@@ -224,14 +244,15 @@ def build_schur_ops(params: GridParameters, n: int) -> SchurOps:
             GL[i, v] = QS - Msi @ Y
             GRr[i, v] = Qnext - Msr @ Y
 
-            rows_i = np.array([s_pos[c] for c in sep_i], dtype=int)
-            rows_r = np.array([s_pos[c] for c in sep_r], dtype=int)
-            cs = np.zeros((6, 3 * n))
-            if len(rows_i):
-                cs[0:3] = S_inv[rows_i, :]
-            if len(rows_r):
-                cs[3:6] = S_inv[rows_r, :]
-            CS[i, v] = cs
+            if include_cs:
+                rows_i = np.array([s_pos[c] for c in sep_i], dtype=int)
+                rows_r = np.array([s_pos[c] for c in sep_r], dtype=int)
+                cs = np.zeros((6, 3 * n))
+                if len(rows_i):
+                    cs[0:3] = S_inv[rows_i, :]
+                if len(rows_r):
+                    cs[3:6] = S_inv[rows_r, :]
+                CS[i, v] = cs
 
             E = M[np.ix_(int_i, sep_i)] if len(sep_i) else np.zeros((len(int_i), 3))
             F = M[np.ix_(int_i, sep_r)] if len(sep_r) else np.zeros((len(int_i), 3))
@@ -274,7 +295,12 @@ class PCROps:
     Dinv: np.ndarray  # [n, v, 3, 3]
 
 
-def build_pcr_ops(params: GridParameters, n: int, tol: float = 1e-28) -> PCROps:
+def build_pcr_ops(
+    params: GridParameters,
+    n: int,
+    tol: float = 1e-28,
+    ifaces: list | None = None,
+) -> PCROps:
     """Precompute PCR elimination matrices for the [3n, 3n] interface system.
 
     The reduction is matrix-driven: each level eliminates the couplings at
@@ -292,10 +318,12 @@ def build_pcr_ops(params: GridParameters, n: int, tol: float = 1e-28) -> PCROps:
     base = max(1, int(np.ceil(np.log2(n))))
     max_levels = base + 8
 
+    if ifaces is None:
+        ifaces = var_interfaces(p, n)
     per_var = []  # (A_levels, B_levels, Dinv[n,3,3])
     blk = lambda S, i, j: S[3 * i : 3 * i + 3, 3 * j : 3 * j + 3]
     for v in range(nv):
-        _, _, _, _, S = _var_interface(p, v, n, cl)
+        S = ifaces[v][4]
         A_lvls, B_lvls = [], []
         d = 1
         for k in range(max_levels):

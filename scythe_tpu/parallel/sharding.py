@@ -205,7 +205,13 @@ class HaloOps:
             interface = "pcr" if n >= PCR_AUTO_MIN else "gather"
         if interface not in ("gather", "pcr"):
             raise ValueError(f"unknown interface {interface!r}")
-        sops = schur_mod.build_schur_ops(grid.params, n)
+        # the per-var interior eliminations are the expensive setup step:
+        # compute once and share; skip the O(n^2) CS inverse when PCR
+        # solves the interface at runtime
+        ifaces = schur_mod.var_interfaces(grid.params, n)
+        sops = schur_mod.build_schur_ops(
+            grid.params, n, ifaces=ifaces, include_cs=(interface == "gather")
+        )
         prep = (
             _split3
             if grid.comp
@@ -218,7 +224,7 @@ class HaloOps:
         self.AP = prep(sops.AP)
         self.AC = prep(sops.AC)
         if interface == "pcr":
-            pops = schur_mod.build_pcr_ops(grid.params, n)
+            pops = schur_mod.build_pcr_ops(grid.params, n, ifaces=ifaces)
             self.levels = pops.levels
             self.dists = pops.dists
             self.A = [prep(pops.A[k]) for k in range(pops.levels)]
@@ -259,9 +265,11 @@ def _window_grid(grid: Grid, idx, n: int) -> Grid:
 
 def _halo_analysis(grid: Grid, wg: Grid, hops: HaloOps, idx, phys):
     """Distributed exact analysis on the windowed layout: local projection,
-    one 3-row overflow ppermute, local Schur elimination, a 3-row-per-shard
-    all_gather + tiny interface solve, local back-substitution, and one
-    3-row halo ppermute.  Returns the shard's spectral window [v, W, ...]."""
+    one 3-row overflow ppermute, local Schur elimination, the interface
+    solve (per ``hops.interface``: a 3-row-per-shard all_gather + dense
+    inverse-row matvec, or parallel cyclic reduction via O(log n) 3-row
+    ppermute pairs), local back-substitution, and one 3-row halo ppermute.
+    Returns the shard's spectral window [v, W, ...]."""
     n, cl, W = hops.n, hops.cl, hops.W
     right = [(i, (i + 1) % n) for i in range(n)]
     left = [(i, (i - 1) % n) for i in range(n)]

@@ -59,6 +59,60 @@ def test_grad_matches_finite_difference(tmp_path):
     assert g_ad < 0.0
 
 
+def test_chunked_scan_gradient(tmp_path):
+    """n_steps past the _pick_chunk cap (384) runs as a scan of bounded
+    chunks (CLAUDE.md scan-length rule); the gradient must still match
+    finite differences through the chunk nesting."""
+    model = _advection_model(tmp_path, n_cells=20)
+    sim, grid, _ = make_simulator(model, jnp.float64, n_steps=500)
+    r = grid.gridpoints()[:, 0]
+    phys0 = np.exp(-((r / 15.0) ** 2))[None, :]
+    target = sim({"c_0": jnp.asarray(1.2)}, phys0)
+
+    def loss(c0):
+        return jnp.mean((sim({"c_0": c0}, phys0) - target) ** 2)
+
+    g_ad = float(jax.grad(loss)(jnp.asarray(1.0)))
+    eps = 1e-5
+    g_fd = float((loss(jnp.asarray(1.0 + eps)) - loss(jnp.asarray(1.0 - eps))) / (2 * eps))
+    assert abs(g_ad - g_fd) <= 1e-6 + 1e-5 * abs(g_fd), (g_ad, g_fd)
+
+
+def test_radiation_speed_baked_static(tmp_path):
+    """A model with options['radiation_width'] and inferred sqrt(g*H)
+    radiation speed must trace under grad with g traced — the speed is
+    resolved from the STATIC base params at simulator build time."""
+    gp = GridParameters(
+        geometry="R",
+        xmin=0.0,
+        xmax=1.0e5,
+        num_cells=24,
+        BCL={"h": BC.R1T1, "u": BC.R1T0},
+        BCR={"h": BC.R0, "u": BC.R0},
+        vars={"h": 1, "u": 2},
+    )
+    model = ModelParameters(
+        ts=2.0,
+        integration_time=40.0,
+        output_interval=40.0,
+        equation_set="LinearShallowWater1D",
+        initial_conditions=str(tmp_path / "unused.csv"),
+        output_dir=str(tmp_path / "out"),
+        grid_params=gp,
+        physical_params={"g": 9.81, "H": 1000.0, "K": 0.0},
+        options={"radiation_width": 2.0e4},
+    )
+    sim, grid, _ = make_simulator(model, jnp.float64)
+    r = grid.gridpoints()[:, 0]
+    phys0 = np.stack([np.exp(-(((r - 3e4) / 8e3) ** 2)), np.zeros_like(r)])
+
+    def loss(g_):
+        return jnp.sum(sim({"g": g_}, phys0) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(9.81))
+    assert np.isfinite(float(g))
+
+
 def test_grad_wrt_initial_conditions(tmp_path):
     """Initial-condition sensitivity (the 4D-Var direction): gradient
     w.r.t. phys0 is finite, correctly shaped, and matches FD along a

@@ -96,10 +96,7 @@ def test_radiation_speed_override_and_missing_params(tmp_path):
     # without g/H and without an explicit speed: a clear error
     model2 = dataclasses.replace(
         _setup(tmp_path, {"radiation_width": 15e3}),
-        physical_params={"K": 0.0, "g": G, "H": H},
-    )
-    model2 = dataclasses.replace(
-        model2, physical_params={"K": 0.0}
+        physical_params={"K": 0.0},
     )
     grid2, ctx2, state2 = initialize(model2, jnp.float64)
     with pytest.raises(ValueError, match="radiation_speed"):

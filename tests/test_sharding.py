@@ -212,7 +212,7 @@ def test_mesh_size_must_divide_cells(tmp_path):
         sh.initialize_sharded(model, mesh)
 
 
-@pytest.mark.parametrize("method", ["psum", "halo"])
+@pytest.mark.parametrize("method", ["psum", "halo", "halo-pcr"])
 def test_sharded_matches_single_fastderiv(tmp_path, method):
     """Compensated + single-pass-bf16-derivative mode (the TPU production
     default) through the sharded paths: the fast radial operators must be
@@ -226,6 +226,9 @@ def test_sharded_matches_single_fastderiv(tmp_path, method):
 
     model = _slab_setup(tmp_path)
     n_steps = 5
+    method, interface = (
+        ("halo", "pcr") if method == "halo-pcr" else (method, "gather")
+    )
 
     grid_f = create_grid(model.grid_params, jnp.float32, matmul="compensated")
     assert grid_f.fast
@@ -243,7 +246,9 @@ def test_sharded_matches_single_fastderiv(tmp_path, method):
         model, mesh, jnp.float32, method=method, matmul="compensated"
     )
     assert grid2.fast
-    sstep = sh.build_sharded_step(model, grid2, ctx2, jnp.float32, mesh, method)
+    sstep = sh.build_sharded_step(
+        model, grid2, ctx2, jnp.float32, mesh, method, interface
+    )
     out = make_scan(sstep, n_steps)(state2)
 
     spec = np.asarray(out.spec)

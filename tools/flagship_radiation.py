@@ -22,14 +22,13 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 sys.path.insert(0, os.path.join(REPO, "models", "cha_bell2024"))
 
-from flagship_stability import build_ics  # noqa: E402
+from flagship_stability import build_ics, run_flagship  # noqa: E402
 
 
 def run(ics_csv, dtype, options, label, hours=24.0):
     from common import GRID, PHYSICS
 
     from scythe_tpu import ModelParameters
-    from scythe_tpu.model import build_step, initialize, make_scan
 
     model = ModelParameters(
         ts=3.0,
@@ -42,45 +41,24 @@ def run(ics_csv, dtype, options, label, hours=24.0):
         physical_params={**PHYSICS, "S1": 1.0e-5},
         options=options,
     )
-    grid, ctx, state = initialize(model, dtype)
-    step = build_step(model, grid, ctx, dtype)
-    chunk = 600  # 30 model-minutes
-    scan = make_scan(step, chunk)
-    n_chunks = int(round(hours * 3600.0 / 3.0 / chunk))
-    r = np.asarray(grid.r_mish)
-    outer = (r > 2.0e5) & (r < 2.55e5)  # outer region, outside the strip
-    times, vmaxs, hmins, h_outer = [], [], [], []
-    failed_at = None
-    t0 = time.time()
-    for i in range(n_chunks):
-        state = scan(state)
-        phys = np.asarray(grid.synthesis(state.spec)["val"])
-        t_h = (i + 1) * chunk * 3.0 / 3600.0
-        if not np.isfinite(phys).all():
-            failed_at = t_h
-            break
-        times.append(t_h)
-        vmaxs.append(float(phys[2].max()))
-        hmins.append(float(phys[0].min()))
-        h_outer.append(float(np.sqrt(np.mean(phys[0][outer] ** 2))))
-    wall = time.time() - t0
-    status = f"NaN at t={failed_at}h" if failed_at else f"COMPLETED {hours}h"
-    vm = f"{vmaxs[-1]:.1f}" if vmaxs else "-"
-    ho = f"{max(h_outer):.3f}" if h_outer else "-"
-    print(
-        f"[{label}] {status}; Vmax(end)={vm} peak outer h_rms={ho} "
-        f"({wall:.0f}s)",
-        flush=True,
-    )
-    return dict(
+    # outer-region wave energy (RMS of h over the outer 100 km excluding
+    # the treated strip — the pile-up that drove the round-1 NaN)
+    from scythe_tpu.grids.base import create_grid
+
+    r = np.asarray(create_grid(GRID, dtype).r_mish)
+    outer = (r > 2.0e5) & (r < 2.55e5)
+    out, _ = run_flagship(
+        model,
+        dtype,
         label=label,
-        options=options,
-        failed_at_h=failed_at,
-        times_h=times,
-        vmax=vmaxs,
-        hmin=hmins,
-        h_outer_rms=h_outer,
+        extra_series={
+            "h_outer_rms": lambda phys: np.sqrt(np.mean(phys[0][outer] ** 2))
+        },
     )
+    out.update(label=label, options=options)
+    if out["h_outer_rms"]:
+        print(f"  [{label}] peak outer h_rms={max(out['h_outer_rms']):.3f}")
+    return out
 
 
 def main():

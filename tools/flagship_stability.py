@@ -56,17 +56,61 @@ def build_ics(workdir, dtype):
     return wave2
 
 
+def run_flagship(model, dtype, label="", extra_series=None):
+    """Shared chunked flagship-integration harness (used by this sweep,
+    validate_fastderiv.py, and flagship_radiation.py): integrate ``model``
+    in 30-model-minute scan chunks with a non-finite watchdog, recording
+    the Vmax/hmin intensity timeseries plus any ``extra_series``
+    ({name: fn(phys)->float}).  Returns a dict with ``times_h``, ``vmax``,
+    ``hmin``, ``failed_at_h`` (None if it completes), ``wall_s`` and the
+    extra series."""
+    from scythe_tpu.model import build_step, initialize, make_scan
+
+    grid, ctx, state = initialize(model, dtype)
+    step = build_step(model, grid, ctx, dtype)
+    chunk = 600  # 30 model-minutes at ts=3 s
+    scan = make_scan(step, chunk)
+    n_chunks = int(round(model.integration_time / model.ts / chunk))
+    extra_series = extra_series or {}
+    times, vmaxs, hmins = [], [], []
+    extras = {k: [] for k in extra_series}
+    failed_at = None
+    t0 = time.time()
+    for i in range(n_chunks):
+        state = scan(state)
+        phys = np.asarray(grid.synthesis(state.spec)["val"])
+        t_h = (i + 1) * chunk * model.ts / 3600.0
+        if not np.isfinite(phys).all():
+            failed_at = t_h
+            break
+        times.append(t_h)
+        vmaxs.append(float(phys[2].max()))
+        hmins.append(float(phys[0].min()))
+        for k, fn in extra_series.items():
+            extras[k].append(float(fn(phys)))
+    wall = time.time() - t0
+    hours = model.integration_time / 3600.0
+    status = f"NaN at t={failed_at}h" if failed_at else f"COMPLETED {hours:g}h"
+    vm = f"{vmaxs[-1]:.1f}" if vmaxs else "-"
+    print(f"[{label}] {status}; last Vmax={vm} ({wall:.0f}s)", flush=True)
+    return dict(
+        label=label,
+        failed_at_h=failed_at,
+        wall_s=round(wall, 1),
+        times_h=times,
+        vmax=vmaxs,
+        hmin=hmins,
+        **extras,
+    ), grid
+
+
 def run_twoway(ics_csv, dtype, K=5000.0, l_q=2.0, hours=24.0, label=""):
     """One 24 h Twoway run; returns dict with the intensity timeseries and
     the first non-finite time (None if it completes)."""
     import dataclasses
 
-    import jax
-    import jax.numpy as jnp
-
     from common import GRID, PHYSICS
-    from scythe_tpu import ModelParameters, create_grid
-    from scythe_tpu.model import build_context, build_step, initialize, make_scan
+    from scythe_tpu import ModelParameters
 
     gp = dataclasses.replace(GRID, l_q=l_q)
     model = ModelParameters(
@@ -79,44 +123,13 @@ def run_twoway(ics_csv, dtype, K=5000.0, l_q=2.0, hours=24.0, label=""):
         grid_params=gp,
         physical_params={**PHYSICS, "K": K, "S1": 1.0e-5},
     )
-    grid, ctx, state = initialize(model, dtype)
-    step = build_step(model, grid, ctx, dtype)
-    chunk = 600  # 30 model-minutes
-    scan = make_scan(step, chunk)
-    n_chunks = int(round(hours * 3600.0 / 3.0 / chunk))
-    times, vmaxs, hmins, vbmaxs = [], [], [], []
-    failed_at = None
-    t0 = time.time()
-    for i in range(n_chunks):
-        state = scan(state)
-        phys = np.asarray(grid.synthesis(state.spec)["val"])
-        t_h = (i + 1) * chunk * 3.0 / 3600.0
-        if not np.isfinite(phys).all():
-            failed_at = t_h
-            break
-        times.append(t_h)
-        vmaxs.append(float(phys[2].max()))
-        hmins.append(float(phys[0].min()))
-        vbmaxs.append(float(phys[4].max()))
-    wall = time.time() - t0
-    out = dict(
-        label=label,
-        K=K,
-        l_q=l_q,
-        failed_at_h=failed_at,
-        wall_s=round(wall, 1),
-        times_h=times,
-        vmax=vmaxs,
-        hmin=hmins,
-        vbmax=vbmaxs,
+    out, _ = run_flagship(
+        model,
+        dtype,
+        label=f"{label} K={K} l_q={l_q}",
+        extra_series={"vbmax": lambda phys: phys[4].max()},
     )
-    status = f"NaN at t={failed_at}h" if failed_at else "COMPLETED 24h"
-    vm = f"{vmaxs[-1]:.1f}" if vmaxs else "-"
-    print(
-        f"[{label}] K={K} l_q={l_q}: {status}; last Vmax={vm} "
-        f"hmin={hmins[-1] if hmins else '-'} ({wall:.0f}s)",
-        flush=True,
-    )
+    out.update(K=K, l_q=l_q, label=label)
     return out
 
 

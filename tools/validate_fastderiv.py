@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from flagship_stability import build_ics  # noqa: E402
+from flagship_stability import build_ics, run_flagship  # noqa: E402
 
 
 def run(ics_csv, dtype, deriv_single, hours=24.0):
@@ -27,7 +27,6 @@ def run(ics_csv, dtype, deriv_single, hours=24.0):
     from common import GRID, PHYSICS
 
     from scythe_tpu import ModelParameters
-    from scythe_tpu.model import build_step, initialize, make_scan
 
     gp = dataclasses.replace(GRID, deriv_single=deriv_single)
     model = ModelParameters(
@@ -41,39 +40,10 @@ def run(ics_csv, dtype, deriv_single, hours=24.0):
         physical_params={**PHYSICS, "S1": 1.0e-5},
         options={"sponge_width": 45000.0, "sponge_tau": 600.0},
     )
-    grid, ctx, state = initialize(model, dtype)
+    out, grid = run_flagship(model, dtype, label=f"deriv_single={deriv_single}")
     assert grid.fast == bool(deriv_single)
-    step = build_step(model, grid, ctx, dtype)
-    chunk = 600  # 30 model-minutes
-    scan = make_scan(step, chunk)
-    n_chunks = int(round(hours * 3600.0 / 3.0 / chunk))
-    times, vmaxs, hmins = [], [], []
-    failed_at = None
-    t0 = time.time()
-    for i in range(n_chunks):
-        state = scan(state)
-        phys = np.asarray(grid.synthesis(state.spec)["val"])
-        t_h = (i + 1) * chunk * 3.0 / 3600.0
-        if not np.isfinite(phys).all():
-            failed_at = t_h
-            break
-        times.append(t_h)
-        vmaxs.append(float(phys[2].max()))
-        hmins.append(float(phys[0].min()))
-    wall = time.time() - t0
-    status = f"NaN at t={failed_at}h" if failed_at else f"COMPLETED {hours}h"
-    print(
-        f"deriv_single={deriv_single}: {status}; "
-        f"Vmax(end)={vmaxs[-1]:.1f} ({wall:.0f}s)",
-        flush=True,
-    )
-    return dict(
-        deriv_single=deriv_single,
-        failed_at_h=failed_at,
-        times_h=times,
-        vmax=vmaxs,
-        hmin=hmins,
-    )
+    out["deriv_single"] = deriv_single
+    return out
 
 
 def main():
