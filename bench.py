@@ -161,6 +161,94 @@ def rlz_transform_bench(device, dtype, reps=4, chain=50):
         )
 
 
+def moist3d_bench(device, dtype, n_steps=40, reps=3):
+    """Full 3-D cylindrical moist compressible core (MoistEulerRLZ, 9 vars,
+    semi-implicit + warm rain + condensation adjustment) at production-ish
+    resolution — the heavy RLZ path the transforms metric proxies, run as
+    the real model step."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from scythe_tpu import BC, GridParameters, ModelParameters
+    from scythe_tpu import timeintegration as ti
+    from scythe_tpu.grids.base import create_grid
+    from scythe_tpu.model import build_context, build_step, make_scan
+
+    with jax.default_device(device):
+        gp = GridParameters(
+            geometry="RLZ",
+            xmin=0.0,
+            xmax=20000.0,
+            num_cells=48,
+            lDim=64,
+            zmin=0.0,
+            zmax=10000.0,
+            zDim=48,
+            BCL={"u": BC.R1T0, "v": BC.R1T0, "w": BC.R1T1},
+            BCR={"u": BC.R1T0, "v": BC.R0},
+            vars={
+                "s": 1, "xi": 2, "mu": 3, "u": 4, "v": 5, "w": 6,
+                "mu_c": 7, "mu_r": 8, "qss": 9,
+            },
+        )
+        zs = np.linspace(0.0, 12000.0, 40)
+        theta = 300.0 + 0.004 * zs
+        qv = 14.0 * np.exp(-zs / 2500.0)
+        snd = tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False)
+        snd.write(f"1015.0 {theta[0]} {qv[0]}\n")
+        for z, th, q in zip(zs[1:], theta[1:], qv[1:]):
+            snd.write(f"{z} {th} {q}\n")
+        snd.close()
+        model = ModelParameters(
+            ts=0.15,
+            integration_time=n_steps * 0.15,
+            output_interval=n_steps * 0.15,
+            equation_set="MoistEulerRLZ",
+            initial_conditions="unused.csv",
+            output_dir="/tmp/moist3d_bench",
+            ref_state_file=snd.name,
+            grid_params=gp,
+            physical_params={"K": 10.0, "f": 5.0e-5},
+            options={"semiimplicit": True},
+        )
+        grid = create_grid(gp, dtype)
+        ctx = build_context(model, grid, dtype)
+        step = build_step(model, grid, ctx, dtype)
+        pts = grid.gridpoints()
+        r, lam, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        x, y = r * np.cos(lam), r * np.sin(lam)
+        rad = np.sqrt(
+            ((x - 6000.0) / 2000.0) ** 2
+            + (y / 2000.0) ** 2
+            + ((z - 2500.0) / 2000.0) ** 2
+        )
+        s_pert = 2.0 * np.maximum(0.0, np.cos(np.pi * np.minimum(rad, 1.0) / 2.0)) ** 2
+        phys0 = np.zeros((gp.nvars,) + grid.spatial_shape)
+        phys0[0] = s_pert.reshape(grid.spatial_shape)
+        spec0 = grid.analysis(jnp.asarray(phys0, dtype))
+        state = ti.initial_state(spec0, (gp.nvars,) + grid.spatial_shape, dtype)
+        scan = make_scan(step, n_steps)
+        t0 = time.time()
+        state = jax.block_until_ready(scan(state))
+        compile_s = time.time() - t0
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            state = jax.block_until_ready(scan(state))
+            best = min(best, time.time() - t0)
+        if not np.isfinite(np.asarray(state.spec)).all():
+            raise FloatingPointError("moist3d bench produced non-finite state")
+        return dict(
+            points=grid.num_points,
+            nvars=gp.nvars,
+            steps_per_s=n_steps / best,
+            grid_point_steps_per_s=grid.num_points * n_steps / best,
+            compile_s=compile_s,
+        )
+
+
 def ensemble_bench(device, dtype, members=16, n_steps=30, reps=3):
     """Aggregate throughput of a vmapped ensemble of the flagship config
     (`integrate_ensemble`, the production parameter-study / serving mode):
@@ -354,6 +442,12 @@ def main():
     rlz = rlz_transform_bench(accel, jnp.float32 if on_accel else jnp.float64)
     print(f"RLZ transforms: {rlz}", file=sys.stderr)
     try:
+        moist = moist3d_bench(accel, jnp.float32 if on_accel else jnp.float64)
+    except Exception as e:  # secondary: never fail the bench line
+        print(f"moist3d bench skipped: {e}", file=sys.stderr)
+        moist = None
+    print(f"moist 3-D core (144x64x48, 9 vars): {moist}", file=sys.stderr)
+    try:
         ens = ensemble_bench(accel, jnp.float32 if on_accel else jnp.float64)
     except Exception as e:  # secondary: never fail the bench line
         print(f"ensemble bench skipped: {e}", file=sys.stderr)
@@ -377,6 +471,10 @@ def main():
             round(rlz["mfu_est"], 4) if rlz["mfu_est"] else None
         ),
     }
+    if moist:
+        extra["moist3d_grid_point_steps_per_s"] = round(
+            moist["grid_point_steps_per_s"], 1
+        )
     if ens:
         extra["ensemble16_grid_point_steps_per_s"] = round(
             ens["grid_point_steps_per_s"], 1

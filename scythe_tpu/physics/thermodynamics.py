@@ -28,7 +28,10 @@ p_0 = 1000.0
 q0 = 1.0e-7
 
 rho_d0 = 100.0 * p_0 / (T_0 * Rd)
-_es_T0 = 6.112 * np.exp(17.67 * (T_0 - 273.15) / ((T_0 - 273.15) + 243.5))
+# float(): np.exp yields an np.float64 scalar, which is a STRONG dtype in
+# JAX — left as-is it silently promotes float32 fields to float64 whenever
+# x64 is enabled (the bench mixes f32 accel runs with an f64 CPU proxy)
+_es_T0 = float(6.112 * np.exp(17.67 * (T_0 - 273.15) / ((T_0 - 273.15) + 243.5)))
 rho_v0 = 100.0 * _es_T0 / (T_0 * Rv)
 
 _TINY = 1.0e-300
