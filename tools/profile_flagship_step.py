@@ -1,12 +1,11 @@
 """Per-stage timing of the flagship (Twoway SW slab, RL 300x256, 6 vars)
 step on the current device: synthesis / tendencies+AB3 / analysis / full
-step, each in an on-device lax.scan chain so tunnel dispatch latency
-amortizes away.  Back-to-back in one session (tunnel variance, CLAUDE.md).
-"""
+step, each as a two-length on-device chain SLOPE (profile_moist3d.
+chain_time) — the tunnel's fixed ~26 ms per-call dispatch cost cancels
+in the slope.  Back-to-back in one session (tunnel variance, CLAUDE.md)."""
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -14,39 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "models", "cha_bell2024"))
 
-L = 200
-
-
-def chain_time(f, x, reps=4):
-    import jax
-    import jax.numpy as jnp
-
-    def run(x0):
-        def body(carry, _):
-            (poison,) = carry
-            y = f(
-                jax.tree.map(
-                    lambda a: a
-                    if jnp.issubdtype(a.dtype, jnp.integer)
-                    else a * (1.0 + poison),
-                    x0,
-                )
-            )
-            leaves = jax.tree.leaves(y)
-            tot = sum(jnp.sum(l) for l in leaves if l.dtype != jnp.int32)
-            return ((tot * 1e-300).astype(jnp.float32),), None
-
-        out, _ = jax.lax.scan(body, (jnp.zeros((), jnp.float32),), None, length=L)
-        return out
-
-    g = jax.jit(run)
-    jax.block_until_ready(g(x))
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(g(x))
-        best = min(best, time.time() - t0)
-    return best / L
+from profile_moist3d import chain_time  # noqa: E402
 
 
 def main():
