@@ -145,18 +145,26 @@ def f_ventilation(q_r, rho_d, Tk):
     return jnp.maximum(1.6 + 30.39 * rho_r**0.2046 * f_ice(Tk) ** 1.5, 0.0)
 
 
-def sedimentation(q_r, rho_d, Tk):
-    """Terminal velocity (ref microphysics.jl:240-249).
-
-    NOTE: the reference formula yields Vt <= 0 and then clamps negative
-    values to zero, so it always returns 0 (reference quirk, flagged in
-    SURVEY.md 2.6).  We reproduce the reference behavior exactly; set
-    ``physical_params['fall_speed_sign'] = -1`` semantics are NOT silently
-    introduced.
-    """
+def sedimentation_formula(q_r, rho_d, Tk):
+    """The reference's terminal-velocity expression verbatim
+    (microphysics.jl:240-249): a NEGATIVE magnitude clamped at zero."""
     rho_r = jnp.maximum(q_r * rho_d, 0.0)
     Vt = -14.164 * rho_r**0.1364 * jnp.sqrt(td.rho_d0 / rho_d) * f_ice(Tk)
     return jnp.maximum(Vt, 0.0)
+
+
+def sedimentation(q_r, rho_d, Tk):
+    """Terminal velocity (ref microphysics.jl:240-249).
+
+    NOTE: the reference formula yields Vt <= 0 (negative prefactor times
+    nonnegative factors) and then clamps negatives to zero, so it always
+    returns 0 (reference quirk, flagged in SURVEY.md 2.6; pinned by
+    tests/test_physics.py over a broad randomized input range against
+    ``sedimentation_formula``).  Returning a literal zero is therefore
+    exact AND lets XLA fold the dependent rain-flux column GEMM away;
+    ``fall_speed_sign = -1`` semantics are NOT silently introduced.
+    """
+    return jnp.zeros_like(q_r * rho_d * Tk)
 
 
 def condensation_adjustment(var_np1, impdot_n, ctx):

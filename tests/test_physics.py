@@ -92,6 +92,16 @@ def test_microphysics_rates_signs():
     assert 0.2 < float(mp.f_ice(jnp.asarray(250.0))) < 1.0
     # reference quirk: sedimentation always returns 0 (clamped)
     assert float(mp.sedimentation(jnp.asarray(0.001), 1.0, 280.0)) == 0.0
+    # ... which the literal-zero shortcut relies on: the raw reference
+    # formula is <= 0 (hence clamps to exactly 0) over the full physical
+    # input range
+    rng = np.random.default_rng(0)
+    q_r = jnp.asarray(rng.uniform(0.0, 0.05, 4096))
+    rho_d = jnp.asarray(rng.uniform(0.05, 1.5, 4096))
+    Tk = jnp.asarray(rng.uniform(180.0, 330.0, 4096))
+    formula = np.asarray(mp.sedimentation_formula(q_r, rho_d, Tk))
+    assert (formula == 0.0).all()
+    assert np.asarray(mp.sedimentation(q_r, rho_d, Tk)).max() == 0.0
     assert float(mp.rain_evaporation(jnp.asarray(0.001), 1.0, 280.0, 900.0)) > 0.0
 
 
