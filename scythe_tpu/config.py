@@ -60,7 +60,11 @@ class GridParameters:
     l_q: float = 2.0
     BCL: Any = None
     BCR: Any = None
-    lDim: int = 0  # uniform azimuthal points (0 = auto)
+    lDim: int = 0  # uniform azimuthal points (0 = auto); XYZ: y points
+    # Cartesian XYZ box only (beyond the reference's four geometries):
+    # periodic y extent; lDim sets the y point count.
+    ymin: float = 0.0
+    ymax: float = 0.0
     l_factored: Any = None  # radix-split azimuthal DFT (None = auto: nl>2048)
     deriv_single: Any = None  # single-pass bf16 derivative synthesis
     # (None = auto; only active in compensated mode, see grids/base.py)

@@ -454,3 +454,113 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
         expdot=adv_all + lap_all + stack_tendencies(nvars, sh, dt, extra),
         impdot=stack_tendencies(nvars, sh, dt, imp),
     )
+
+
+@equation_set(geometry="XYZ")
+def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
+    """3-D Cartesian-box moist compressible Euler core with warm rain
+    (the classic cloud-model domain: squall lines, supercells).
+
+    Beyond the reference: its moist sets are 2-D Cartesian slabs
+    (rainfall_test, testModels.jl:387-585); this extends the identical
+    perturbation thermodynamics + Ooyama microphysics to a periodic-y box
+    with an optional f-plane.  Terms mirror rainfall_test ORDER-exactly,
+    with the y/v additions placed so that a y-invariant state with v = 0
+    and f = 0 reduces to the RZ set bit-for-bit (pinned by
+    tests/test_xyz.py::test_xyz_reduces_to_rz_slab).
+
+    Vars: s xi mu u v w mu_c mu_r qss  (u = dx-wind, v = dy-wind).
+    The dl/dll slots of an XYZ grid are true d/dy, d2/dy2 (grids/base.py).
+    """
+    K = ctx.p("K")
+    f_cor = ctx.p("f", 0.0)
+    rs = ctx.ref_state
+    val, dx, dxx, dy, dyy, dz, dzz = (
+        fields["val"],
+        fields["dr"],
+        fields["drr"],
+        fields["dl"],
+        fields["dll"],
+        fields["dz"],
+        fields["dzz"],
+    )
+    s, xi, mu = val[0], val[1], val[2]
+    u, v, w = val[3], val[4], val[5]
+    mu_c, mu_r, qss = val[6], val[7], val[8]
+
+    sbar_z = rs.sbar[None, None, :, 1]
+    xibar_z = rs.xibar[None, None, :, 1]
+    mubar_z = rs.mubar[None, None, :, 1]
+    q_v, rho_d, Tk, p = td.thermodynamic_tuple(
+        s + rs.sbar[None, None, :, 0],
+        xi + rs.xibar[None, None, :, 0],
+        mu + rs.mubar[None, None, :, 0],
+    )
+    mu_total = mu + rs.mubar[None, None, :, 0]
+    q_c = td.ahyp(mu_c)
+    q_r = td.ahyp(mu_r)
+    q_l = q_c + q_r
+    q_t = q_v + q_l
+    rho_t = rho_d * (1.0 + q_t)
+    mu_fac = td.dmudq(mu_total, q_v)
+    qvp_x = dx[2] / mu_fac
+    qvp_y = dy[2] / mu_fac
+    qvp_z = dz[2] / mu_fac
+    rhobar = td.dry_density(rs.xibar[None, None, :, 0]) * (
+        1.0 + td.ahyp(rs.mubar[None, None, :, 0])
+    )
+    rho_p = rho_t - rhobar
+    dpdx = td.pressure_gradient(Tk, rho_d, q_v, dx[0], dx[1], qvp_x)
+    dpdy = td.pressure_gradient(Tk, rho_d, q_v, dy[0], dy[1], qvp_y)
+    dpdz = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+
+    Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
+    s_div = Cm * (td.Rd + q_v * td.Rv) * (dx[3] + dy[4] + dz[5])
+    N_c, r_c = 100.0, 10.0
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
+    cloudtau = mp.invtau_condensation(Tk, p, N_c, r_c)
+    raintau = mp.rain_evaporation(q_r, rho_d, Tk, p)
+    q_evap = -qss * raintau
+    qss_cond = (
+        mp.dqsdp(Tk, p, rho_d, q_v, q_l)
+        * ((u * dpdx) + (v * dpdy) + (w * (dpdz - rhobar * td.GRAVITY)))
+        - qss * (cloudtau + raintau)
+    )
+    q_auto = mp.autoconversion(q_c, rho_d)
+    q_coll = mp.collection(q_c, q_r, rho_d, Tk)
+    Vt = mp.sedimentation(q_r, rho_d, Tk)
+    Vt_flux = ctx.grid.column_derivative(q_r * Vt) / rho_d
+
+    def adv(i, bar_z=None):
+        # rainfall_test's (-u dx) + (-w (dz + bar)) ordering with the y
+        # term inserted after the x term: exact 0 when v == 0 / y-invariant
+        wdz = dz[i] if bar_z is None else (dz[i] + bar_z)
+        return (-u * dx[i]) + (-v * dy[i]) + (-w * wdz)
+
+    def lap(i):
+        # rainfall_test's K*(dxx + dzz) with dyy inserted in the middle
+        return K * (dxx[i] + dyy[i] + dzz[i])
+
+    nvars = ctx.grid.nvars
+    sh, dt = u.shape, u.dtype
+    exp, imp = {}, {}
+    exp[0] = adv(0, sbar_z) + s_cond + s_div + lap(0)
+    exp[1] = adv(1, xibar_z) - dx[3] - dy[4] - dz[5]
+    imp[1] = -dz[5]
+    exp[2] = adv(2, mubar_z) + mu_fac * (q_evap - q_cond) + lap(2)
+    imp[2] = q_v
+    exp[3] = adv(3) + f_cor * v - dpdx / rho_t + lap(3)
+    exp[4] = adv(4) - f_cor * u - dpdy / rho_t + lap(4)
+    exp[5] = adv(5) + ((-td.GRAVITY * rho_p) - dpdz) / rho_t + lap(5)
+    imp[5] = -(rs.Pxi_bar * dz[1])
+    exp[6] = adv(6) + ctx.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll) + lap(6)
+    exp[7] = adv(7) + ctx.dmudq_source(mu_r, q_r) * (
+        q_auto + q_coll - q_evap - Vt_flux
+    ) + lap(7)
+    exp[8] = adv(8) + qss_cond
+    imp[8] = qss
+    return EqResult(
+        expdot=stack_tendencies(nvars, sh, dt, exp),
+        impdot=stack_tendencies(nvars, sh, dt, imp),
+    )

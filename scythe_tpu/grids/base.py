@@ -43,7 +43,13 @@ import numpy as np
 from ..basis import bspline, chebyshev, fourier
 from ..config import GridParameters
 
-GEOMETRIES = ("R", "RL", "RZ", "RLZ")
+GEOMETRIES = ("R", "RL", "RZ", "RLZ", "XYZ")
+# "XYZ" (beyond the reference's four geometries): a Cartesian box --
+# B-spline x, uniformly-masked periodic Fourier y (lDim points over
+# [ymin, ymax], 2/3-rule dealiasing, derivative operators scaled by
+# 2*pi/Ly so the dl/dll slots are true d/dy, d2/dy2), Chebyshev z.  It
+# shares the RLZ structural paths (same array ranks and transform
+# composition); only coordinates and the azimuthal mask/scaling differ.
 
 
 def _split3(op: np.ndarray) -> jnp.ndarray:
@@ -143,13 +149,19 @@ class Grid:
         return self.params.nvars
 
     @property
+    def _struct(self) -> str:
+        """Structural class: XYZ shares the RLZ array ranks/paths."""
+        g = self.params.geometry
+        return "RLZ" if g == "XYZ" else g
+
+    @property
     def spatial_shape(self) -> tuple[int, ...]:
         p = self.params
-        if p.geometry == "R":
+        if self._struct == "R":
             return (p.rDim,)
-        if p.geometry == "RL":
+        if self._struct == "RL":
             return (p.rDim, self.nl)
-        if p.geometry == "RZ":
+        if self._struct == "RZ":
             return (p.rDim, p.zDim)
         return (p.rDim, self.nl, p.zDim)
 
@@ -170,16 +182,26 @@ class Grid:
 
     @property
     def field_keys(self) -> tuple[str, ...]:
+        # XYZ reuses the RLZ slot names: dr/drr are d/dx, d2/dx2 and
+        # dl/dll are true d/dy, d2/dy2 (operators pre-scaled by 2*pi/Ly)
         return {
             "R": ("val", "dr", "drr"),
             "RZ": ("val", "dr", "drr", "dz", "dzz"),
             "RL": ("val", "dr", "drr", "dl", "dll"),
             "RLZ": ("val", "dr", "drr", "dl", "dll", "dz", "dzz"),
-        }[self.geometry]
+        }[self._struct]
+
+    def _y_points(self) -> np.ndarray:
+        p = self.params
+        return p.ymin + (p.ymax - p.ymin) * np.arange(self.nl) / self.nl
 
     # ------------------------------------------------------------------
     def coords(self) -> dict[str, jnp.ndarray]:
-        """Coordinate arrays broadcastable against ``[*spatial]`` fields."""
+        """Coordinate arrays broadcastable against ``[*spatial]`` fields.
+
+        XYZ grids expose "x"/"y"/"z" (plus "r" as an alias of "x" so the
+        generic outer-boundary treatments in model.build_step work on the
+        +x boundary unchanged)."""
         r = jnp.asarray(self.r_mish, self.dtype)
         out: dict[str, jnp.ndarray] = {}
         if self.geometry == "R":
@@ -190,6 +212,10 @@ class Grid:
         elif self.geometry == "RZ":
             out["r"] = r[:, None]
             out["z"] = jnp.asarray(self.z_mish, self.dtype)[None, :]
+        elif self.geometry == "XYZ":
+            out["r"] = out["x"] = r[:, None, None]
+            out["y"] = jnp.asarray(self._y_points(), self.dtype)[None, :, None]
+            out["z"] = jnp.asarray(self.z_mish, self.dtype)[None, None, :]
         else:
             out["r"] = r[:, None, None]
             out["l"] = jnp.asarray(fourier.angles(self.nl), self.dtype)[None, :, None]
@@ -208,7 +234,7 @@ class Grid:
         if self.geometry == "RZ":
             rr, zz = np.meshgrid(self.r_mish, self.z_mish, indexing="ij")
             return np.stack([rr.ravel(), zz.ravel()], axis=1)
-        lam = fourier.angles(self.nl)
+        lam = self._y_points() if self.geometry == "XYZ" else fourier.angles(self.nl)
         rr, ll, zz = np.meshgrid(self.r_mish, lam, self.z_mish, indexing="ij")
         return np.stack([rr.ravel(), ll.ravel(), zz.ravel()], axis=1)
 
@@ -413,8 +439,36 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         synth_r_val=prep(synth[0]),
     )
 
-    # --- azimuthal ------------------------------------------------------
+    # --- periodic Cartesian y (XYZ box) ---------------------------------
     l_mats = None
+    if p.geometry == "XYZ":
+        if not p.lDim or p.lDim % 2:
+            raise ValueError("XYZ grids need an explicit even lDim (y points)")
+        if p.ymax <= p.ymin:
+            raise ValueError("XYZ grids need ymax > ymin")
+        if getattr(p, "l_factored", None):
+            raise ValueError("l_factored is not supported for XYZ grids")
+        nl = p.lDim
+        if nl > 2048:
+            raise ValueError(
+                "XYZ y resolution is limited to 2048 points (dense DFT "
+                "operators; the factored path is polar-only today)"
+            )
+        grid.nl = nl
+        grid.kDim = nl
+        # uniform 2/3-rule dealias mask (every "ring" identical)
+        ks = fourier.coeff_wavenumbers(nl)
+        row = (ks <= max(nl // 3, 1)).astype(np.float64)
+        grid.ring_mask = jnp.asarray(np.tile(row, (p.rDim, 1)), dtype)
+        la, ls, ld, ld2 = fourier.dft_matrices(nl)
+        s = 2.0 * np.pi / (p.ymax - p.ymin)  # d/dlambda -> d/dy
+        ld, ld2 = ld * s, ld2 * (s * s)
+        l_mats = (ls, ld, ld2)
+        grid.l_analysis = prep(la)
+        grid.l_synth = prep(ls)
+        grid.l_all = prep(np.stack([ls, ld, ld2]))
+
+    # --- azimuthal ------------------------------------------------------
     if p.geometry in ("RL", "RLZ"):
         from ..basis import fourier_factored as ff
 
@@ -453,9 +507,9 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
             grid.l_all = prep(np.stack([ls, ld, ld2]))
 
     # --- vertical -------------------------------------------------------
-    if p.geometry in ("RZ", "RLZ"):
+    if p.geometry in ("RZ", "RLZ", "XYZ"):
         if p.zDim < 4:
-            raise ValueError("zDim must be >= 4 for RZ/RLZ grids")
+            raise ValueError("zDim must be >= 4 for RZ/RLZ/XYZ grids")
         anz = []
         for v in range(p.nvars):
             zops = chebyshev.build_ops(p.zDim, p.zmin, p.zmax, p.b_zDim, p.BCB[v], p.BCT[v])
@@ -493,6 +547,6 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
             ls, ld, ld2 = l_mats
             grid.l_deriv_f = _bf16(np.stack([ld, ld2]))
             grid.l_synth_f = _bf16(ls)
-        if p.geometry in ("RZ", "RLZ"):
+        if p.geometry in ("RZ", "RLZ", "XYZ"):
             grid.z_deriv_f = _bf16(np.stack(z_mats))
     return grid

@@ -45,7 +45,13 @@ def _write_csv(path: str, names: list[str], cols: np.ndarray) -> None:
     np.savetxt(path, cols, delimiter=",", header=header, comments="", fmt="%.17g")
 
 
-_COORD_NAMES = {"R": ["r"], "RL": ["r", "l"], "RZ": ["r", "z"], "RLZ": ["r", "l", "z"]}
+_COORD_NAMES = {
+    "R": ["r"],
+    "RL": ["r", "l"],
+    "RZ": ["r", "z"],
+    "RLZ": ["r", "l", "z"],
+    "XYZ": ["x", "y", "z"],
+}
 
 
 def read_physical_grid(path: str, grid) -> np.ndarray:
@@ -91,16 +97,21 @@ _CF_COORDS = {
     "r": ("radius", "m"),
     "l": ("azimuth", "radian"),
     "z": ("height", "m"),
+    "x": ("x", "m"),
+    "y": ("y", "m"),
 }
 
 
 def _grid_coords(grid) -> dict[str, np.ndarray]:
     from .basis import fourier
 
-    out = {"r": np.asarray(grid.r_mish, np.float64)}
-    if "l" in _COORD_NAMES[grid.geometry]:
+    names = _COORD_NAMES[grid.geometry]
+    out = {names[0]: np.asarray(grid.r_mish, np.float64)}
+    if "l" in names:
         out["l"] = fourier.angles(grid.nl)
-    if "z" in _COORD_NAMES[grid.geometry]:
+    if "y" in names:
+        out["y"] = grid._y_points()
+    if "z" in names:
         out["z"] = np.asarray(grid.z_mish, np.float64)
     return out
 

@@ -96,6 +96,7 @@ def build_step(
         "BF02_test",
         "rainfall_test",
         "MoistEulerRLZ",
+        "MoistEulerXYZ",
     )
     si_ops = None
     if semiimplicit:
