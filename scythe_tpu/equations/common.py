@@ -51,6 +51,19 @@ class EqContext:
             return self.params[key]
         return self.params.get(key, default)
 
+    def sedimentation(self, q_r, rho_d, Tk):
+        """Rain terminal velocity.  Default: the reference's always-zero
+        clamp quirk (microphysics.sedimentation).  With
+        ``options['sedimentation'] = 'active'``, the unclamped (negative,
+        downward) formula — required for long moist-convection runs,
+        where the quirk accumulates unbounded rain water (measured,
+        docs/RESULTS.md)."""
+        from ..physics import microphysics as mp
+
+        if self.options.get("sedimentation") == "active":
+            return mp.sedimentation_active(q_r, rho_d, Tk)
+        return mp.sedimentation(q_r, rho_d, Tk)
+
     def dmudq_source(self, mu, q):
         """q->mu source-term Jacobian.  Default: the clamped stability
         guard (physics/thermodynamics.dmudq_source).  With

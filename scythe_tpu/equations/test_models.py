@@ -283,10 +283,10 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     )
     q_auto = mp.autoconversion(q_c, rho_d)
     q_coll = mp.collection(q_c, q_r, rho_d, Tk)
-    Vt = mp.sedimentation(q_r, rho_d, Tk)
+    Vt = ctx.sedimentation(q_r, rho_d, Tk)
     # flux divergence of falling precipitation via a Chebyshev column
     # derivative (ref testModels.jl:521-528)
-    Vt_flux = ctx.grid.column_derivative(q_r * Vt) / rho_d
+    Vt_flux = ctx.grid.column_flux_derivative(q_r * Vt) / rho_d
 
     nvars = ctx.grid.nvars
     sh, dt = u.shape, u.dtype
@@ -419,8 +419,8 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     q_evap = -qss * raintau
     q_auto = mp.autoconversion(q_c, rho_d)
     q_coll = mp.collection(q_c, q_r, rho_d, Tk)
-    Vt = mp.sedimentation(q_r, rho_d, Tk)
-    Vt_flux = ctx.grid.column_derivative(q_r * Vt) / rho_d
+    Vt = ctx.sedimentation(q_r, rho_d, Tk)
+    Vt_flux = ctx.grid.column_flux_derivative(q_r * Vt) / rho_d
     Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
     div3 = u / r + dr[3] + dl[4] / r + dz[5]
     s_div = Cm * (td.Rd + q_v * td.Rv) * div3
@@ -529,8 +529,8 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     )
     q_auto = mp.autoconversion(q_c, rho_d)
     q_coll = mp.collection(q_c, q_r, rho_d, Tk)
-    Vt = mp.sedimentation(q_r, rho_d, Tk)
-    Vt_flux = ctx.grid.column_derivative(q_r * Vt) / rho_d
+    Vt = ctx.sedimentation(q_r, rho_d, Tk)
+    Vt_flux = ctx.grid.column_flux_derivative(q_r * Vt) / rho_d
 
     def adv(i, bar_z=None):
         # rainfall_test's (-u dx) + (-w (dz + bar)) ordering with the y

@@ -99,6 +99,7 @@ class Grid:
     zcol_int: jnp.ndarray | None = None  # [nz, nz] R0 column antiderivative
     zcol_deriv: jnp.ndarray | None = None  # [nz, nz] R0 column d/dz
     zcol_filter: jnp.ndarray | None = None  # [nz, nz] CB+CA+CI round trip
+    zcol_deriv_ftop: jnp.ndarray | None = None  # [nz, nz] d/dz, F(top)=0
     # selective single-pass bf16 derivative synthesis (fast=True): the value
     # chain stays compensated (its errors feed analysis and accumulate), but
     # the 6 derivative slots feed tendencies that enter the state x dt, so
@@ -393,6 +394,12 @@ class Grid:
         shallowWaterModels.jl:469-483)."""
         return self._mm("zk,...k->...z", self.zcol_deriv, f)
 
+    def column_flux_derivative(self, f: jnp.ndarray) -> jnp.ndarray:
+        """d/dz of a vertical FLUX with F = 0 imposed at the domain top
+        (sedimentation: no rain falls in from above).  See the
+        zcol_deriv_ftop build note in create_grid."""
+        return self._mm("zk,...k->...z", self.zcol_deriv_ftop, f)
+
     def column_filter(self, f: jnp.ndarray) -> jnp.ndarray:
         """CB+CA+CI round trip (truncation filter) on columns."""
         return self._mm("zk,...k->...z", self.zcol_filter, f)
@@ -523,6 +530,17 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         grid.zcol_int = prep(z0.isynth @ r0a)
         grid.zcol_deriv = prep(z0.dsynth @ r0a)
         grid.zcol_filter = prep(z0.synth @ r0a)
+        # flux-divergence derivative with F = 0 imposed at the domain top:
+        # used for the rain sedimentation flux (nothing falls in from
+        # above).  The unconstrained (R0) fit rings at the top boundary
+        # when differentiating a localized flux there — measured as an
+        # explosive rain-at-model-top instability with active
+        # sedimentation (docs/RESULTS.md).
+        zf = chebyshev.build_ops(
+            p.zDim, p.zmin, p.zmax, p.b_zDim, chebyshev.ZBC.R0,
+            chebyshev.ZBC.R1T0,
+        )
+        grid.zcol_deriv_ftop = prep(z0.dsynth @ (zf.constrain @ zf.analysis))
         z_mats = (z0.dsynth, z0.d2synth)
 
     # --- selective single-pass bf16 derivative synthesis ----------------

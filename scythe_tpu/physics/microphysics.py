@@ -163,8 +163,22 @@ def sedimentation(q_r, rho_d, Tk):
     ``sedimentation_formula``).  Returning a literal zero is therefore
     exact AND lets XLA fold the dependent rain-flux column GEMM away;
     ``fall_speed_sign = -1`` semantics are NOT silently introduced.
+
+    Consequence (measured, docs/RESULTS.md): with rain never falling out,
+    long moist convection accumulates unbounded q_r and eventually
+    blows up — use ``options['sedimentation'] = 'active'``
+    (EqContext.sedimentation -> ``sedimentation_active``) for
+    physically-sedimenting runs.
     """
     return jnp.zeros_like(q_r * rho_d * Tk)
+
+
+def sedimentation_active(q_r, rho_d, Tk):
+    """The reference formula WITHOUT the sign-clamp bug: a negative
+    (downward) rain terminal velocity, as the Ooyama (2001) form clearly
+    intends.  Opt-in via ``options['sedimentation'] = 'active'``."""
+    rho_r = jnp.maximum(q_r * rho_d, 0.0)
+    return -14.164 * rho_r**0.1364 * jnp.sqrt(td.rho_d0 / rho_d) * f_ice(Tk)
 
 
 def condensation_adjustment(var_np1, impdot_n, ctx):
