@@ -19,15 +19,19 @@ envelope"):
   (measured at t ~ 2500 s);
 * the thermal carries a +30% moisture excess — a dry thermal in this
   environment makes only a thin transient cloud;
-* the default 20-minute window stays inside the measured stability
-  envelope of the (reference-faithful) warm-rain scheme: in the mature
-  deep cell the prognostic-supersaturation condensation runs away at
-  t ~ 1700-1900 s at this resolution (qc -> 30+ g/kg; same structure as
-  the reference's scheme, which only ever ran short gentle 2-D demos);
+* vertical BCs per variable follow the wall-flux physics: insulated
+  (R1T1) tops/bottoms for every K-diffused scalar EXCEPT the rain bottom,
+  which must stay unconstrained (R0) so surface rain can form a boundary
+  max and drain out; each wrong combination produced a measured
+  exponential boundary runaway (docs/RESULTS.md);
+* the default 45-minute window covers the first shower raining out and
+  the secondary DEEP convection it triggers (w to +-15 m/s by ~56 min);
+  the measured stability envelope at this 1.25 km resolution ends in the
+  mature extreme cell around t ~ 3400-3600 s;
 * ts respects the horizontal acoustic CFL (min mish gap 0.2254*dx).
 
 Usage:
-    python examples/convective_shower_xyz.py [--cpu] [--time 1200]
+    python examples/convective_shower_xyz.py [--cpu] [--time 2700]
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ VARS = {
 }
 
 
-def build_model(out_dir, num_cells=48, ny=16, nz=32, ts=0.25, t_end=1200.0):
+def build_model(out_dir, num_cells=48, ny=16, nz=32, ts=0.25, t_end=2700.0):
     from scythe_tpu import BC, ZBC, GridParameters, ModelParameters
 
     os.makedirs(out_dir, exist_ok=True)
@@ -81,10 +85,17 @@ def build_model(out_dir, num_cells=48, ny=16, nz=32, ts=0.25, t_end=1200.0):
         zDim=nz,
         BCL={n: BC.PERIODIC for n in VARS},
         BCR={n: BC.PERIODIC for n in VARS},
+        # Diffused scalars need the insulated (R1T1) fit at walls they
+        # cannot flux through -- an unconstrained (R0) boundary under
+        # K*dzz pumps spuriously (the Straka finding); leaving mu_c/mu_r
+        # at R0 at the TOP produced an exponential cloud-water runaway
+        # there (docs/RESULTS.md).  Their BOTTOM stays R0: surface rain
+        # must form a boundary max and drain (an insulated bottom fit of
+        # the rain spike rings and blows up -- measured both ways).
         BCB={"s": ZBC.R1T1, "u": ZBC.R1T1, "v": ZBC.R1T1, "mu": ZBC.R1T1,
-             "w": ZBC.R1T0},
+             "mu_c": ZBC.R1T1, "w": ZBC.R1T0},
         BCT={"s": ZBC.R1T1, "u": ZBC.R1T1, "v": ZBC.R1T1, "mu": ZBC.R1T1,
-             "w": ZBC.R1T0},
+             "mu_c": ZBC.R1T1, "mu_r": ZBC.R1T1, "w": ZBC.R1T0},
         vars=VARS,
     )
     return ModelParameters(
@@ -142,7 +153,7 @@ def write_ics(model, grid, ref_state):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--time", type=float, default=1200.0)
+    ap.add_argument("--time", type=float, default=2700.0)
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
