@@ -13,7 +13,10 @@ import jax.numpy as jnp
 
 from . import thermodynamics as td
 
-_TINY = 1.0e-300
+_TINY = 1.0e-37  # must be representable in float32: 1e-300 underflows to
+# exactly 0.0 there, silently disabling every max(x, _TINY) guard on the
+# f32 production path -- measured as 0*log(0) = NaN in s_condensation
+# wherever the dry stratosphere drives q_v to exact zero (docs/RESULTS.md)
 
 
 def q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c):

@@ -34,7 +34,10 @@ rho_d0 = 100.0 * p_0 / (T_0 * Rd)
 _es_T0 = float(6.112 * np.exp(17.67 * (T_0 - 273.15) / ((T_0 - 273.15) + 243.5)))
 rho_v0 = 100.0 * _es_T0 / (T_0 * Rv)
 
-_TINY = 1.0e-300
+_TINY = 1.0e-37  # must be representable in float32: 1e-300 underflows to
+# exactly 0.0 there, silently disabling every max(x, _TINY) guard on the
+# f32 production path -- measured as 0*log(0) = NaN in s_condensation
+# wherever the dry stratosphere drives q_v to exact zero (docs/RESULTS.md)
 
 
 def sat_pressure_liquid(Tk):

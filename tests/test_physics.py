@@ -90,6 +90,21 @@ def test_microphysics_rates_signs():
     assert float(mp.collection(jnp.asarray(0.001), jnp.asarray(0.001), 1.0, 280.0)) > 0.0
     assert float(mp.f_ice(jnp.asarray(300.0))) == 1.0
     assert 0.2 < float(mp.f_ice(jnp.asarray(250.0))) < 1.0
+    # _TINY guards must be representable at float32: 1e-300 underflows to
+    # exactly 0.0 there, silently disabling every max(x, _TINY) guard on
+    # the f32 production path (measured: 0*log(0) = NaN in s_condensation
+    # wherever a dry stratosphere drives q_v to exact zero)
+    assert np.float32(mp._TINY) > 0.0
+    f32 = jnp.float32
+    out = mp.s_condensation(
+        jnp.zeros((4,), f32),               # q_cond = 0
+        jnp.full((4,), 215.0, f32),
+        jnp.full((4,), 0.2, f32),
+        jnp.zeros((4,), f32),               # q_v = 0 (dry stratosphere)
+        jnp.zeros((4,), f32),
+        jnp.full((4,), 120.0, f32),
+    )
+    assert np.isfinite(np.asarray(out)).all()
     # reference quirk: sedimentation always returns 0 (clamped)
     assert float(mp.sedimentation(jnp.asarray(0.001), 1.0, 280.0)) == 0.0
     # ... which the literal-zero shortcut relies on: the raw reference
