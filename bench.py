@@ -91,7 +91,7 @@ def measure(device, dtype, ns=(100, 800), reps=3):
             return call
 
         per, fixed = slope_time(make_call, *ns, reps=reps)
-        compile_s = time.time() - t0
+        setup_s = time.time() - t0  # compiles + warmups + timed reps
         if not np.isfinite(np.asarray(final["state"].spec)).all():
             raise FloatingPointError("benchmark run produced non-finite state")
         gps = grid.num_points / per
@@ -100,7 +100,7 @@ def measure(device, dtype, ns=(100, 800), reps=3):
             steps_per_s=1.0 / per,
             grid_point_steps_per_s=gps,
             dispatch_fixed_ms=round(fixed * 1e3, 2),
-            compile_s=compile_s,
+            setup_s=round(setup_s, 2),
         )
 
 
@@ -176,7 +176,7 @@ def rlz_transform_bench(device, dtype, reps=3, ns=(64, 256)):
         except Exception:
             flops = 0.0
         dt, fixed = slope_time(make_call, *ns, reps=reps)
-        compile_s = time.time() - t0
+        setup_s = time.time() - t0  # compiles + warmups + timed reps
         gps = grid.num_points * gp.nvars / dt
         peak = _PEAK_FLOPS.get(getattr(device, "device_kind", ""), None)
         mfu = (flops / dt / peak) if (peak and flops) else None
@@ -189,8 +189,54 @@ def rlz_transform_bench(device, dtype, reps=3, ns=(64, 256)):
             tflops_per_s=flops / dt / 1e12 if flops else None,
             mfu_est=mfu,
             dispatch_fixed_ms=round(fixed * 1e3, 2),
-            compile_s=compile_s,
+            setup_s=round(setup_s, 2),
         )
+
+
+def moist3d_model(n_steps=120):
+    """The moist3d workload config, shared by moist3d_bench and
+    tools/profile_moist3d.py (so the per-stage profile always decomposes
+    the exact benchmark workload)."""
+    import tempfile
+
+    from scythe_tpu import BC, GridParameters, ModelParameters
+
+    gp = GridParameters(
+        geometry="RLZ",
+        xmin=0.0,
+        xmax=20000.0,
+        num_cells=48,
+        lDim=64,
+        zmin=0.0,
+        zmax=10000.0,
+        zDim=48,
+        BCL={"u": BC.R1T0, "v": BC.R1T0, "w": BC.R1T1},
+        BCR={"u": BC.R1T0, "v": BC.R0},
+        vars={
+            "s": 1, "xi": 2, "mu": 3, "u": 4, "v": 5, "w": 6,
+            "mu_c": 7, "mu_r": 8, "qss": 9,
+        },
+    )
+    zs = np.linspace(0.0, 12000.0, 40)
+    theta = 300.0 + 0.004 * zs
+    qv = 14.0 * np.exp(-zs / 2500.0)
+    snd = tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False)
+    snd.write(f"1015.0 {theta[0]} {qv[0]}\n")
+    for z, th, q in zip(zs[1:], theta[1:], qv[1:]):
+        snd.write(f"{z} {th} {q}\n")
+    snd.close()
+    return ModelParameters(
+        ts=0.15,
+        integration_time=n_steps * 0.15,
+        output_interval=n_steps * 0.15,
+        equation_set="MoistEulerRLZ",
+        initial_conditions="unused.csv",
+        output_dir="/tmp/moist3d_bench",
+        ref_state_file=snd.name,
+        grid_params=gp,
+        physical_params={"K": 10.0, "f": 5.0e-5},
+        options={"semiimplicit": True},
+    )
 
 
 def moist3d_bench(device, dtype, ns=(20, 120), reps=3):
@@ -198,53 +244,16 @@ def moist3d_bench(device, dtype, ns=(20, 120), reps=3):
     semi-implicit + warm rain + condensation adjustment) at production-ish
     resolution — the heavy RLZ path the transforms metric proxies, run as
     the real model step."""
-    import tempfile
-
     import jax
     import jax.numpy as jnp
 
-    from scythe_tpu import BC, GridParameters, ModelParameters
     from scythe_tpu import timeintegration as ti
     from scythe_tpu.grids.base import create_grid
     from scythe_tpu.model import build_context, build_step, make_scan
 
     with jax.default_device(device):
-        gp = GridParameters(
-            geometry="RLZ",
-            xmin=0.0,
-            xmax=20000.0,
-            num_cells=48,
-            lDim=64,
-            zmin=0.0,
-            zmax=10000.0,
-            zDim=48,
-            BCL={"u": BC.R1T0, "v": BC.R1T0, "w": BC.R1T1},
-            BCR={"u": BC.R1T0, "v": BC.R0},
-            vars={
-                "s": 1, "xi": 2, "mu": 3, "u": 4, "v": 5, "w": 6,
-                "mu_c": 7, "mu_r": 8, "qss": 9,
-            },
-        )
-        zs = np.linspace(0.0, 12000.0, 40)
-        theta = 300.0 + 0.004 * zs
-        qv = 14.0 * np.exp(-zs / 2500.0)
-        snd = tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False)
-        snd.write(f"1015.0 {theta[0]} {qv[0]}\n")
-        for z, th, q in zip(zs[1:], theta[1:], qv[1:]):
-            snd.write(f"{z} {th} {q}\n")
-        snd.close()
-        model = ModelParameters(
-            ts=0.15,
-            integration_time=ns[1] * 0.15,
-            output_interval=ns[1] * 0.15,
-            equation_set="MoistEulerRLZ",
-            initial_conditions="unused.csv",
-            output_dir="/tmp/moist3d_bench",
-            ref_state_file=snd.name,
-            grid_params=gp,
-            physical_params={"K": 10.0, "f": 5.0e-5},
-            options={"semiimplicit": True},
-        )
+        model = moist3d_model(n_steps=ns[1])
+        gp = model.grid_params
         grid = create_grid(gp, dtype)
         ctx = build_context(model, grid, dtype)
         step = build_step(model, grid, ctx, dtype)
@@ -275,7 +284,7 @@ def moist3d_bench(device, dtype, ns=(20, 120), reps=3):
             return call
 
         per, fixed = slope_time(make_call, *ns, reps=reps)
-        compile_s = time.time() - t0
+        setup_s = time.time() - t0  # compiles + warmups + timed reps
         if not np.isfinite(np.asarray(final["state"].spec)).all():
             raise FloatingPointError("moist3d bench produced non-finite state")
         return dict(
@@ -284,7 +293,7 @@ def moist3d_bench(device, dtype, ns=(20, 120), reps=3):
             steps_per_s=1.0 / per,
             grid_point_steps_per_s=grid.num_points / per,
             dispatch_fixed_ms=round(fixed * 1e3, 2),
-            compile_s=compile_s,
+            setup_s=round(setup_s, 2),
         )
 
 
@@ -325,14 +334,14 @@ def ensemble_bench(device, dtype, members=16, ns=(20, 120), reps=3):
             return call
 
         per, fixed = slope_time(make_call, *ns, reps=reps)
-        compile_s = time.time() - t0
+        setup_s = time.time() - t0  # compiles + warmups + timed reps
         if not np.isfinite(np.asarray(final["state"].spec)).all():
             raise FloatingPointError("ensemble bench produced non-finite state")
         return dict(
             members=members,
             grid_point_steps_per_s=members * grid.num_points / per,
             dispatch_fixed_ms=round(fixed * 1e3, 2),
-            compile_s=compile_s,
+            setup_s=round(setup_s, 2),
         )
 
 

@@ -109,9 +109,8 @@ def assimilate(grid, sim, bg, truth0, n_members=64, seed=0):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    y = obs_operator(truth0, sim({}, truth0)) + rng.normal(
-        0.0, OBS_SIGMA, 2 * 32 * 16
-    )
+    y0 = obs_operator(truth0, sim({}, truth0))
+    y = y0 + rng.normal(0.0, OBS_SIGMA, y0.shape)
     X0 = sample_ensemble(grid, bg, n_members)
     fwd = jax.jit(jax.vmap(lambda x: sim({}, x)))
     Xf = fwd(X0)

@@ -382,13 +382,13 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     rho_p = rho_t - rhobar
 
     # Vectorized advection + diffusion over the full [nvars, ...] tensors:
-    # one fused elementwise pass instead of nvars per-var slice chains
-    # (measured 2.0x on this block, bitwise-equal results — the per-var
-    # formulation cost 544 us vs 271 us vectorized at bench size).  Rows
-    # 0-2 advect the reference-state vertical gradients too (barz rows
-    # 3.. are zero, and x - w*0 == x exactly); the Laplacian mask zeroes
-    # the rows that have no diffusion in the reference formulation
-    # (xi, qss), again exactly.
+    # one fused elementwise pass instead of nvars per-var slice chains.
+    # The adv/lap BLOCKS are bitwise-equal to the per-var forms (barz rows
+    # 3.. are zero and x - w*0 == x exactly; the Laplacian mask zeroes the
+    # no-diffusion rows exactly), but the final per-var assembly order
+    # changed from (adv + sources + lap) to (adv + lap) + sources, so
+    # whole-tendency values differ at roundoff from the pre-refactor
+    # implementation (fp addition is not associative).
     u3, v3, w3 = val[3:4], val[4:5], val[5:6]
     zrow = jnp.zeros_like(sbar_z)
     barz = jnp.stack(
@@ -466,8 +466,9 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     perturbation thermodynamics + Ooyama microphysics to a periodic-y box
     with an optional f-plane.  Terms mirror rainfall_test ORDER-exactly,
     with the y/v additions placed so that a y-invariant state with v = 0
-    and f = 0 reduces to the RZ set bit-for-bit (pinned by
-    tests/test_xyz.py::test_xyz_reduces_to_rz_slab).
+    and f = 0 reduces to the RZ set exactly term-by-term; end-to-end the
+    extra y analysis/synthesis leaves only roundoff-level spurious modes
+    (pinned at 1e-8 by tests/test_xyz.py::test_xyz_reduces_to_rz_slab).
 
     Vars: s xi mu u v w mu_c mu_r qss  (u = dx-wind, v = dy-wind).
     The dl/dll slots of an XYZ grid are true d/dy, d2/dy2 (grids/base.py).

@@ -68,13 +68,8 @@ def main():
     from scythe_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
-    from bench import moist3d_bench, build  # noqa: F401  (reuse config)
-    import bench as b
+    from bench import moist3d_model  # the EXACT benchmark workload
 
-    # rebuild the moist3d model/grid/step exactly as bench.moist3d_bench
-    import tempfile
-
-    from scythe_tpu import BC, GridParameters, ModelParameters
     from scythe_tpu import timeintegration as ti
     from scythe_tpu.equations.common import get_equation_set
     from scythe_tpu.grids.base import create_grid
@@ -85,42 +80,8 @@ def main():
     dtype = jnp.float32 if dev.platform != "cpu" else jnp.float64
     print("device:", dev.platform, dev.device_kind)
 
-    gp = GridParameters(
-        geometry="RLZ",
-        xmin=0.0,
-        xmax=20000.0,
-        num_cells=48,
-        lDim=64,
-        zmin=0.0,
-        zmax=10000.0,
-        zDim=48,
-        BCL={"u": BC.R1T0, "v": BC.R1T0, "w": BC.R1T1},
-        BCR={"u": BC.R1T0, "v": BC.R0},
-        vars={
-            "s": 1, "xi": 2, "mu": 3, "u": 4, "v": 5, "w": 6,
-            "mu_c": 7, "mu_r": 8, "qss": 9,
-        },
-    )
-    zs = np.linspace(0.0, 12000.0, 40)
-    theta = 300.0 + 0.004 * zs
-    qv = 14.0 * np.exp(-zs / 2500.0)
-    snd = tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False)
-    snd.write(f"1015.0 {theta[0]} {qv[0]}\n")
-    for z, th, q in zip(zs[1:], theta[1:], qv[1:]):
-        snd.write(f"{z} {th} {q}\n")
-    snd.close()
-    model = ModelParameters(
-        ts=0.15,
-        integration_time=6.0,
-        output_interval=6.0,
-        equation_set="MoistEulerRLZ",
-        initial_conditions="unused.csv",
-        output_dir="/tmp/moist3d_prof",
-        ref_state_file=snd.name,
-        grid_params=gp,
-        physical_params={"K": 10.0, "f": 5.0e-5},
-        options={"semiimplicit": True},
-    )
+    model = moist3d_model()
+    gp = model.grid_params
     grid = create_grid(gp, dtype)
     ctx = build_context(model, grid, dtype)
     step = build_step(model, grid, ctx, dtype)
