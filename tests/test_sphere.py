@@ -1,0 +1,103 @@
+"""SL spherical-shell geometry + global shallow water (Williamson 1992).
+
+Gates calibrated from measured results (examples/williamson_sphere.py):
+case 2 l2(h) = 1.6e-4 after 5 days, spurious v < 5 mm/s; case 6 corr
+0.9996 after 1 day.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scythe_tpu import GridParameters, create_grid
+
+_HERE = os.path.dirname(__file__)
+_spec = importlib.util.spec_from_file_location(
+    "williamson_example",
+    os.path.join(_HERE, "..", "examples", "williamson_sphere.py"),
+)
+wm = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(wm)
+
+
+def _grid(num_cells=32, nl=96):
+    gp = GridParameters(
+        geometry="SL",
+        xmin=-np.pi / 2,
+        xmax=np.pi / 2,
+        num_cells=num_cells,
+        lDim=nl,
+        sphere_radius=wm.A_EARTH,
+        vars={"h": 1, "u": 2, "v": 3},
+    )
+    return gp, create_grid(gp, jnp.float64)
+
+
+def test_sl_transform_roundtrip():
+    gp, grid = _grid()
+    pts = grid.gridpoints()
+    phi = pts[:, 0].reshape(grid.spatial_shape)
+    lam = pts[:, 1].reshape(grid.spatial_shape)
+    # smooth low-order spherical pattern (resolved everywhere incl. the
+    # masked pole rings: zonal structure ~ cos(phi)^k vanishes there)
+    f = (
+        np.sin(phi) ** 2
+        + 0.3 * np.cos(phi) ** 4 * np.cos(4 * lam)
+        + 0.1 * np.cos(phi) * np.sin(lam)
+    )
+    phys = np.stack([f, 0.5 * f, np.zeros_like(f)])
+    out = np.asarray(grid.synthesis(grid.analysis(jnp.asarray(phys)))["val"])
+    assert np.abs(out[0] - f).max() < 2e-3 * np.abs(f).max()
+
+
+def test_sl_pole_rings_near_axisymmetric():
+    """The a*cos(lat) ring mask forces the pole rings toward zonal
+    wavenumbers their circumference can support (the polar r->0
+    treatment applied to the sphere)."""
+    gp, grid = _grid()
+    mask = np.asarray(grid.ring_mask)
+    # pole rings keep only a couple of wavenumbers; the equator keeps many
+    assert mask[0].sum() <= 5
+    assert mask[mask.shape[0] // 2].sum() > 40
+
+
+@pytest.fixture(scope="module")
+def w2_run():
+    model = wm.build_model(ts=300.0)
+    grid = create_grid(model.grid_params, jnp.float64)
+    pts = grid.gridpoints()
+    phi = pts[:, 0].reshape(grid.spatial_shape)
+    h2, u2, v2 = wm.w2_fields(phi)
+    grid, out = wm.run_case(model, np.stack([h2, u2, v2]), 5 * 288)
+    return phi, h2, u2, out
+
+
+def test_williamson2_steady_state(w2_run):
+    phi, h2, u2, out = w2_run
+    assert np.isfinite(out).all()
+    l2 = np.sqrt(np.mean((out[0] - h2) ** 2)) / np.sqrt(np.mean(h2**2))
+    assert l2 < 5.0e-4, l2  # measured 1.6e-4 after 5 days
+    assert np.abs(out[2]).max() < 0.05, np.abs(out[2]).max()  # v ~ 5 mm/s
+    # zonal jet intact
+    assert abs(out[1].max() - u2.max()) < 0.2
+
+
+def test_williamson6_rossby_haurwitz():
+    model = wm.build_model(ts=180.0)
+    grid = create_grid(model.grid_params, jnp.float64)
+    pts = grid.gridpoints()
+    phi = pts[:, 0].reshape(grid.spatial_shape)
+    lam = pts[:, 1].reshape(grid.spatial_shape)
+    h6, u6, v6 = wm.w6_fields(phi, lam)
+    grid, out = wm.run_case(model, np.stack([h6, u6, v6]), 480)
+    assert np.isfinite(out).all()
+    h_an, _, _ = wm.w6_fields(phi, lam - wm.w6_phase_speed() * 86400.0)
+    corr = np.corrcoef(out[0].ravel(), h_an.ravel())[0, 1]
+    assert corr > 0.999, corr  # measured 0.9996
+    # and the phase really moved: correlation against the UNSHIFTED IC
+    # must be visibly worse than against the advected field
+    corr0 = np.corrcoef(out[0].ravel(), h6.ravel())[0, 1]
+    assert corr > corr0 + 0.0005, (corr, corr0)
