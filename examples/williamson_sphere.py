@@ -16,6 +16,16 @@ machinery applied to a*cos(lat); grids/base.py SL note):
   not an exact SW solution, so slow shape drift is expected and matches
   published behavior).
 
+Timestep rule (measured, the SL analog of the acoustic CFL): the pole
+rings retain zonal wavenumber k = 1 (vector components at the pole have
+k = 1 structure, exactly like the polar-axis rings), so the binding
+limit is the pole-ring gravity-wave CFL
+    dt < ~0.7 * a * cos(phi_innermost) / sqrt(g h_pole).
+At 32 cells, cos(phi_innermost) = 0.0111; case 6 (h_pole ~ 8 km,
+c ~ 280 m/s) is UNSTABLE at dt = 300 s (CFL 1.19 -> a roundoff-seeded
+pole mode grows to NaN within ~100 steps) and clean at dt = 150 s;
+case 2's shallower polar depth (c ~ 160 m/s) is stable at dt = 300 s.
+
 Usage:
     python examples/williamson_sphere.py [--cpu]
 """
@@ -137,10 +147,10 @@ def main():
         f"spurious |v|max = {np.abs(out[2]).max()*1e3:.1f} mm/s"
     )
 
-    # --- case 6: 1 day -------------------------------------------------
-    model = build_model(ts=180.0)
+    # --- case 6: 1 day (dt from the pole-ring CFL, see docstring) ------
+    model = build_model(ts=150.0)
     h6, u6, v6 = w6_fields(phi, lam)
-    grid, out = run_case(model, np.stack([h6, u6, v6]), 480)
+    grid, out = run_case(model, np.stack([h6, u6, v6]), 576)
     h_an, _, _ = w6_fields(phi, lam - w6_phase_speed() * 86400.0)
     corr = np.corrcoef(out[0].ravel(), h_an.ravel())[0, 1]
     print(

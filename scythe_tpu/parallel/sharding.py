@@ -107,10 +107,19 @@ def _local_grid(grid: Grid, idx, rows: int) -> Grid:
 
 
 def _local_coords(coords: dict, idx, rows: int) -> dict:
-    out = dict(coords)
-    if "r" in out:
-        r = out["r"]
-        out["r"] = jax.lax.dynamic_slice_in_dim(r, idx * rows, rows, axis=0)
+    """Slice every radially-shaped coordinate to this shard's rows.
+
+    Keyed by shape, not name: "r" plus its geometry aliases ("lat" on SL
+    shells, "x" on XYZ boxes) all span the full mish dimension on axis 0,
+    while the non-radial coordinates ("l"/"lon"/"y"/"z") carry a leading
+    broadcast axis of length 1."""
+    full = coords["r"].shape[0]
+    out = {}
+    for key, val in coords.items():
+        if hasattr(val, "shape") and val.ndim >= 1 and val.shape[0] == full:
+            out[key] = jax.lax.dynamic_slice_in_dim(val, idx * rows, rows, axis=0)
+        else:
+            out[key] = val
     return out
 
 
