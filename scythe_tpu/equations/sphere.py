@@ -64,3 +64,31 @@ def ShallowWaterSphere(fields, ctx: EqContext) -> EqResult:
             )
     sh, dt = h.shape, h.dtype
     return EqResult(expdot=stack_tendencies(3, sh, dt, exp))
+
+
+@equation_set(geometry="SL")
+def AdvectionSphere(fields, ctx: EqContext) -> EqResult:
+    """Solid-body-rotation tracer advection on the sphere (Williamson
+    case 1): h advected by the prescribed wind at angle ``alpha`` to the
+    polar axis.  ``alpha = pi/2`` sends the flow DIRECTLY over both
+    poles — the acid test of the a*cos(lat) ring-mask pole treatment.
+
+        u = u0 (cos(phi) cos(alpha) + sin(phi) cos(lambda) sin(alpha))
+        v = -u0 sin(lambda) sin(alpha)
+
+    Vars: h (tracer; u, v are diagnostic/ignored if present).
+    physical_params: u0 [m/s], alpha [rad].
+    """
+    u0 = ctx.p("u0")
+    alpha = ctx.p("alpha", 0.0)
+    a = ctx.grid.params.sphere_radius
+    phi = ctx.coords["lat"]
+    lam = ctx.coords["lon"]
+    cosp = jnp.cos(phi)
+    u = u0 * (cosp * jnp.cos(alpha) + jnp.sin(phi) * jnp.cos(lam) * jnp.sin(alpha))
+    v = -u0 * jnp.sin(lam) * jnp.sin(alpha)
+    dh = -(u / (a * cosp)) * fields["dl"][0] - (v / a) * fields["dr"][0]
+    sh, dt = dh.shape, dh.dtype
+    return EqResult(
+        expdot=stack_tendencies(ctx.grid.nvars, sh, dt, {0: dh})
+    )

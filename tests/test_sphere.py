@@ -138,3 +138,48 @@ def test_sl_sharding_invariance(method):
     if method == "halo":
         spec = sh.blocks_to_spec(jnp.asarray(np.asarray(spec)), n, cl)
     assert np.abs(np.asarray(spec) - ref).max() < 1e-11 * np.abs(ref).max()
+
+
+def test_williamson1_cross_polar_advection():
+    """Case 1 at alpha = pi/2: the cosine bell rides the solid-body flow
+    DIRECTLY over both poles and back to its start in 12 days — the acid
+    test of the a*cos(lat) ring-mask pole treatment.  Measured 12-day l2
+    (f64): 0.46 / 0.22 / 0.11 at 32 / 48 / 64 cells (≈2nd order), peak
+    retention 57 / 81 / 93% — coarse-resolution-typical diffusion, no
+    pole artifacts.  The suite runs the 32-cell case."""
+    from scythe_tpu import timeintegration as ti
+    from scythe_tpu.model import build_context, build_step, make_scan
+
+    a = wm.A_EARTH
+    u0 = 2 * np.pi * a / (12 * 86400.0)
+    model = wm.build_model(ts=300.0).with_(
+        equation_set="AdvectionSphere",
+        physical_params={"u0": u0, "alpha": np.pi / 2},
+    )
+    grid = create_grid(model.grid_params, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    pts = grid.gridpoints()
+    phi = pts[:, 0].reshape(grid.spatial_shape)
+    lam = pts[:, 1].reshape(grid.spatial_shape)
+    R = a / 3
+    r = a * np.arccos(
+        np.clip(np.cos(phi) * np.cos(lam - 1.5 * np.pi), -1, 1)
+    )
+    h0 = np.where(r < R, 500.0 * (1 + np.cos(np.pi * r / R)), 0.0)
+    phys0 = np.zeros((3,) + grid.spatial_shape)
+    phys0[0] = h0
+    spec0 = grid.analysis(jnp.asarray(phys0))
+    state = ti.initial_state(spec0, (3,) + grid.spatial_shape, jnp.float64)
+    step = build_step(model, grid, ctx, jnp.float64)
+    state = make_scan(step, int(12 * 86400 / 300))(state)
+    out = np.asarray(grid.synthesis(state.spec)["val"])
+    assert np.isfinite(out).all()
+    l2 = np.sqrt(np.mean((out[0] - h0) ** 2)) / np.sqrt(np.mean(h0**2))
+    assert l2 < 0.55, l2  # measured 0.46 at this resolution
+    assert out[0].max() > 500.0, out[0].max()  # peak 57% retained
+    # the bell came back: centroid within a couple of grid lengths
+    w = np.maximum(out[0], 0.0)
+    lam_c = np.angle(np.sum(w * np.exp(1j * lam))) % (2 * np.pi)
+    assert abs(lam_c - 1.5 * np.pi) < 0.25, lam_c
+    phi_c = (w * phi).sum() / w.sum()
+    assert abs(phi_c) < 0.15, phi_c
