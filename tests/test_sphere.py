@@ -102,6 +102,17 @@ def test_williamson6_rossby_haurwitz():
     # must be visibly worse than against the advected field
     corr0 = np.corrcoef(out[0].ravel(), h6.ravel())[0, 1]
     assert corr > corr0 + 0.0005, (corr, corr0)
+    # global mass conservation (Gauss quadrature in latitude): measured
+    # drift ~4e-7/day for the advective-form scheme
+    from scythe_tpu.basis import bspline
+
+    w_quad = bspline.mish_weights(
+        model.grid_params.xmin, model.grid_params.xmax,
+        model.grid_params.num_cells,
+    )
+    m0 = float((h6 * np.cos(phi) * w_quad[:, None]).sum())
+    m1 = float((out[0] * np.cos(phi) * w_quad[:, None]).sum())
+    assert abs(m1 - m0) / abs(m0) < 5e-6, (m0, m1)
 
 
 @pytest.mark.parametrize("method", ["psum", "halo"])
