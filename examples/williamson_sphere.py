@@ -99,20 +99,27 @@ def w6_phase_speed(R=4, omega=7.848e-6):
     return (R * (3 + R) * omega - 2 * OMEGA) / ((1 + R) * (2 + R))
 
 
-def run_case(model, phys0, n_steps):
+def run_case(model, phys0, n_steps, grid=None):
     import jax.numpy as jnp
 
     from scythe_tpu import create_grid
     from scythe_tpu import timeintegration as ti
-    from scythe_tpu.model import build_context, build_step, make_scan
+    from scythe_tpu.model import _pick_chunk, build_context, build_step, make_scan
 
     dtype = jnp.float64
-    grid = create_grid(model.grid_params, dtype)
+    if grid is None:
+        grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     state = ti.initial_state(spec0, phys0.shape, dtype)
     step = build_step(model, grid, ctx, dtype)
-    state = make_scan(step, n_steps)(state)
+    # bounded-scan rule (CLAUDE.md): compile one short chunk, repeat it
+    chunk = _pick_chunk(n_steps)
+    scan = make_scan(step, chunk)
+    for _ in range(n_steps // chunk):
+        state = scan(state)
+    if n_steps % chunk:
+        state = make_scan(step, n_steps % chunk)(state)
     return grid, np.asarray(grid.synthesis(state.spec)["val"])
 
 
@@ -140,7 +147,7 @@ def main():
     phi = pts[:, 0].reshape(grid.spatial_shape)
     lam = pts[:, 1].reshape(grid.spatial_shape)
     h2, u2, v2 = w2_fields(phi)
-    grid, out = run_case(model, np.stack([h2, u2, v2]), 5 * 288)
+    grid, out = run_case(model, np.stack([h2, u2, v2]), 5 * 288, grid=grid)
     l2 = np.sqrt(np.mean((out[0] - h2) ** 2)) / np.sqrt(np.mean(h2**2))
     print(
         f"W2 (steady zonal flow, 5 days): l2(h) = {l2:.2e}, "
@@ -150,7 +157,7 @@ def main():
     # --- case 6: 1 day (dt from the pole-ring CFL, see docstring) ------
     model = build_model(ts=150.0)
     h6, u6, v6 = w6_fields(phi, lam)
-    grid, out = run_case(model, np.stack([h6, u6, v6]), 576)
+    grid, out = run_case(model, np.stack([h6, u6, v6]), 576, grid=grid)
     h_an, _, _ = w6_fields(phi, lam - w6_phase_speed() * 86400.0)
     corr = np.corrcoef(out[0].ravel(), h_an.ravel())[0, 1]
     print(

@@ -63,7 +63,7 @@ def ShallowWaterSphere(fields, ctx: EqContext) -> EqResult:
                 dpp[i] / aa + dll[i] / (aa * cosp * cosp) - tanp * dp[i] / aa
             )
     sh, dt = h.shape, h.dtype
-    return EqResult(expdot=stack_tendencies(3, sh, dt, exp))
+    return EqResult(expdot=stack_tendencies(ctx.grid.nvars, sh, dt, exp))
 
 
 @equation_set(geometry="SL")

@@ -421,6 +421,23 @@ class Grid:
         return self._mm("zk,...k->...z", self.zcol_filter, f)
 
 
+def _dense_lon_ops(grid: "Grid", nl: int, prep, deriv_scale: float = 1.0) -> tuple:
+    """Shared dense real-DFT longitude/azimuth operator setup (RL dense
+    fallback, XYZ, SL).  ``deriv_scale`` converts d/dlambda to a true
+    coordinate derivative (XYZ: 2*pi/Ly -> d/dy).  Returns (ls, ld, ld2)
+    for the fast-deriv path."""
+    grid.nl = nl
+    grid.kDim = nl
+    la, ls, ld, ld2 = fourier.dft_matrices(nl)
+    if deriv_scale != 1.0:
+        ld = ld * deriv_scale
+        ld2 = ld2 * (deriv_scale * deriv_scale)
+    grid.l_analysis = prep(la)
+    grid.l_synth = prep(ls)
+    grid.l_all = prep(np.stack([ls, ld, ld2]))
+    return ls, ld, ld2
+
+
 def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Grid:
     """Build a grid and all of its transform operators (ref createGrid,
     spectralGrid.jl:63-94).
@@ -477,19 +494,12 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
                 "XYZ y resolution is limited to 2048 points (dense DFT "
                 "operators; the factored path is polar-only today)"
             )
-        grid.nl = nl
-        grid.kDim = nl
         # uniform 2/3-rule dealias mask (every "ring" identical)
         ks = fourier.coeff_wavenumbers(nl)
         row = (ks <= max(nl // 3, 1)).astype(np.float64)
         grid.ring_mask = jnp.asarray(np.tile(row, (p.rDim, 1)), dtype)
-        la, ls, ld, ld2 = fourier.dft_matrices(nl)
-        s = 2.0 * np.pi / (p.ymax - p.ymin)  # d/dlambda -> d/dy
-        ld, ld2 = ld * s, ld2 * (s * s)
-        l_mats = (ls, ld, ld2)
-        grid.l_analysis = prep(la)
-        grid.l_synth = prep(ls)
-        grid.l_all = prep(np.stack([ls, ld, ld2]))
+        sc = 2.0 * np.pi / (p.ymax - p.ymin)  # d/dlambda -> d/dy
+        l_mats = _dense_lon_ops(grid, nl, prep, deriv_scale=sc)
 
     # --- spherical longitude (SL shell) ---------------------------------
     if p.geometry == "SL":
@@ -497,11 +507,15 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
             raise ValueError("SL grids need an explicit even lDim (lon points)")
         if getattr(p, "l_factored", None):
             raise ValueError("l_factored is not supported for SL grids")
+        if not (p.xmax > p.xmin and abs(p.xmin) <= np.pi / 2 + 1e-9
+                and abs(p.xmax) <= np.pi / 2 + 1e-9):
+            raise ValueError(
+                f"SL latitude bounds must be RADIANS within [-pi/2, pi/2], "
+                f"got [{p.xmin}, {p.xmax}] (degrees by mistake?)"
+            )
         nl = p.lDim
         if nl > 2048:
             raise ValueError("SL longitude is limited to 2048 points (dense DFT)")
-        grid.nl = nl
-        grid.kDim = nl
         a_sph = p.sphere_radius
         dphi = (p.xmax - p.xmin) / p.num_cells
         # ring circumference radius a*cos(lat) plays the role the polar
@@ -511,11 +525,7 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         grid.ring_mask = jnp.asarray(
             fourier.ring_coeff_mask(r_equiv, a_sph * dphi, nl, p.l_q), dtype
         )
-        la, ls, ld, ld2 = fourier.dft_matrices(nl)
-        l_mats = (ls, ld, ld2)
-        grid.l_analysis = prep(la)
-        grid.l_synth = prep(ls)
-        grid.l_all = prep(np.stack([ls, ld, ld2]))
+        l_mats = _dense_lon_ops(grid, nl, prep)
 
     # --- azimuthal ------------------------------------------------------
     if p.geometry in ("RL", "RLZ"):
@@ -545,15 +555,10 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
             grid.kDim = fd.K
             grid.ring_mask = jnp.asarray(fd.ring_mask(r_mish, dr, p.l_q), dtype)
         else:
-            grid.kDim = nl
             grid.ring_mask = jnp.asarray(
                 fourier.ring_coeff_mask(r_mish, dr, nl, p.l_q), dtype
             )
-            la, ls, ld, ld2 = fourier.dft_matrices(nl)
-            l_mats = (ls, ld, ld2)
-            grid.l_analysis = prep(la)
-            grid.l_synth = prep(ls)
-            grid.l_all = prep(np.stack([ls, ld, ld2]))
+            l_mats = _dense_lon_ops(grid, nl, prep)
 
     # --- vertical -------------------------------------------------------
     if p.geometry in ("RZ", "RLZ", "XYZ"):

@@ -110,10 +110,9 @@ def _grid_coords(grid) -> dict[str, np.ndarray]:
 
     names = _COORD_NAMES[grid.geometry]
     out = {names[0]: np.asarray(grid.r_mish, np.float64)}
-    if "l" in names:
-        out["l"] = fourier.angles(grid.nl)
-    if "lon" in names:
-        out["lon"] = fourier.angles(grid.nl)
+    for key in ("l", "lon"):
+        if key in names:
+            out[key] = fourier.angles(grid.nl)
     if "y" in names:
         out["y"] = grid._y_points()
     if "z" in names:

@@ -71,7 +71,7 @@ def w2_run():
     pts = grid.gridpoints()
     phi = pts[:, 0].reshape(grid.spatial_shape)
     h2, u2, v2 = wm.w2_fields(phi)
-    grid, out = wm.run_case(model, np.stack([h2, u2, v2]), 5 * 288)
+    grid, out = wm.run_case(model, np.stack([h2, u2, v2]), 5 * 288, grid=grid)
     return phi, h2, u2, out
 
 
@@ -93,7 +93,7 @@ def test_williamson6_rossby_haurwitz():
     phi = pts[:, 0].reshape(grid.spatial_shape)
     lam = pts[:, 1].reshape(grid.spatial_shape)
     h6, u6, v6 = wm.w6_fields(phi, lam)
-    grid, out = wm.run_case(model, np.stack([h6, u6, v6]), 576)
+    grid, out = wm.run_case(model, np.stack([h6, u6, v6]), 576, grid=grid)
     assert np.isfinite(out).all()
     h_an, _, _ = wm.w6_fields(phi, lam - wm.w6_phase_speed() * 86400.0)
     corr = np.corrcoef(out[0].ravel(), h_an.ravel())[0, 1]
