@@ -9,6 +9,13 @@ machinery applied to a*cos(lat); grids/base.py SL note):
   shows up directly as error growth.  Measured (f64, 32 lat cells x 96
   lon, dt = 300 s): l2(h) error 1.6e-4 after FIVE days, spurious v
   under 5 mm/s — inside the published range for this resolution class.
+* **Case 5** — zonal flow over an isolated conical mountain (2 km high,
+  radius 20 deg): topography enters as a free-surface PGF via
+  ``ctx.extras["hs_grad"]`` (spectrally filtered gradient of h_s).  No
+  analytic solution; measured over 15 days: a lee Rossby-wave train
+  develops (free-surface zonal anomaly growing to ~63 m rms, extremes
+  ~320 m, jet accelerating 20 -> ~34 m/s) with global mass conserved to
+  3e-6 — the standard qualitative behavior of the case.
 * **Case 6** — Rossby-Haurwitz wavenumber-4: the classic pattern
   propagates eastward at the analytic phase speed
   nu = (R(3+R)w - 2*Omega)/((1+R)(2+R)).  Measured: correlation 0.9996
@@ -95,6 +102,28 @@ def w6_fields(phi, lam, R=4, omega=7.848e-6, h0=8.0e3):
     return h, u, v
 
 
+def w5_fields(phi, lam):
+    """Case 5: u0 = 20 m/s zonal flow, 5960 m mean surface, conical
+    mountain h_s at (270E, 30N).  Returns (h_depth, u, v, h_s)."""
+    u0 = 20.0
+    h_surf = 5960.0 - (A_EARTH * OMEGA * u0 + u0 * u0 / 2.0) * np.sin(phi) ** 2 / G
+    Rm, lc, pc = np.pi / 9, 1.5 * np.pi, np.pi / 6
+    dlam = np.minimum(np.abs(lam - lc), 2 * np.pi - np.abs(lam - lc))
+    rr = np.sqrt(np.minimum(Rm**2, dlam**2 + (phi - pc) ** 2))
+    hs = 2000.0 * (1.0 - rr / Rm)
+    return h_surf - hs, u0 * np.cos(phi), np.zeros_like(phi), hs
+
+
+def setup_topography(grid, ctx, hs):
+    """Spectrally-filtered topography gradient -> ctx.extras['hs_grad']."""
+    import jax.numpy as jnp
+
+    pad = np.zeros((grid.nvars,) + grid.spatial_shape)
+    pad[0] = hs
+    f = grid.synthesis(grid.analysis(jnp.asarray(pad)))
+    ctx.extras["hs_grad"] = jnp.stack([f["dr"][0], f["dl"][0]])
+
+
 def w6_phase_speed(R=4, omega=7.848e-6):
     return (R * (3 + R) * omega - 2 * OMEGA) / ((1 + R) * (2 + R))
 
@@ -152,6 +181,36 @@ def main():
     print(
         f"W2 (steady zonal flow, 5 days): l2(h) = {l2:.2e}, "
         f"spurious |v|max = {np.abs(out[2]).max()*1e3:.1f} mm/s"
+    )
+
+    # --- case 5: 15 days over the mountain -----------------------------
+    from scythe_tpu.model import build_context
+
+    model = build_model(ts=200.0)
+    h5, u5, v5, hs = w5_fields(phi, lam)
+    # run_case rebuilds ctx internally, so drive this case directly
+    # (the topography extras must be attached before build_step)
+    from scythe_tpu import timeintegration as ti
+    from scythe_tpu.model import _pick_chunk, build_step, make_scan
+
+    g5 = create_grid(model.grid_params, jnp.float64)
+    ctx5 = build_context(model, g5, jnp.float64)
+    setup_topography(g5, ctx5, hs)
+    spec0 = g5.analysis(jnp.asarray(np.stack([h5, u5, v5]), jnp.float64))
+    state = ti.initial_state(spec0, (3,) + g5.spatial_shape, jnp.float64)
+    step5 = build_step(model, g5, ctx5, jnp.float64)
+    chunk = _pick_chunk(432)
+    scan = make_scan(step5, chunk)
+    for _ in range(15 * 432 // chunk):
+        state = scan(state)
+    out = np.asarray(g5.synthesis(state.spec)["val"])
+    surf = out[0] + hs
+    dev = surf - surf.mean(axis=1, keepdims=True)
+    print(
+        f"W5 (flow over an isolated mountain, 15 days): lee-wave train "
+        f"rms {np.sqrt((dev**2).mean()):.0f} m (extremes +-"
+        f"{np.abs(dev).max():.0f} m), jet max {out[1].max():.0f} m/s, "
+        f"finite={np.isfinite(out).all()}"
     )
 
     # --- case 6: 1 day (dt from the pole-ring CFL, see docstring) ------

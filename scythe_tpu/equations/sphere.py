@@ -56,6 +56,14 @@ def ShallowWaterSphere(fields, ctx: EqContext) -> EqResult:
     exp[0] = -U * dl[0] - V * dp[0] - h * div
     exp[1] = -U * dl[1] - V * dp[1] + curv * v - (g / (a * cosp)) * dl[0]
     exp[2] = -U * dl[2] - V * dp[2] - curv * u - (g / a) * dp[0]
+    # optional bottom topography (Williamson case 5): h is fluid DEPTH,
+    # the momentum PGF acts on the free surface h + h_s.  The example
+    # supplies ctx.extras["hs_grad"] = [2, rDim, nl] (d/dphi, d/dlambda
+    # of h_s, spectrally filtered) before build_step.
+    hs_grad = ctx.extras.get("hs_grad")
+    if hs_grad is not None:
+        exp[1] = exp[1] - (g / (a * cosp)) * hs_grad[1]
+        exp[2] = exp[2] - (g / a) * hs_grad[0]
     if K > 0.0:
         aa = a * a
         for i in range(3):

@@ -194,3 +194,39 @@ def test_williamson1_cross_polar_advection():
     assert abs(lam_c - 1.5 * np.pi) < 0.25, lam_c
     phi_c = (w * phi).sum() / w.sum()
     assert abs(phi_c) < 0.15, phi_c
+
+
+def test_williamson5_mountain_flow():
+    """Case 5: zonal flow over the conical mountain, 5 days.  No analytic
+    solution; gates from the measured 15-day run (docs/RESULTS.md): a lee
+    wave train develops, the jet accelerates, mass is conserved."""
+    from scythe_tpu import timeintegration as ti
+    from scythe_tpu.basis import bspline
+    from scythe_tpu.model import build_context, build_step, make_scan
+
+    model = wm.build_model(ts=200.0)
+    grid = create_grid(model.grid_params, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    pts = grid.gridpoints()
+    phi = pts[:, 0].reshape(grid.spatial_shape)
+    lam = pts[:, 1].reshape(grid.spatial_shape)
+    h5, u5, v5, hs = wm.w5_fields(phi, lam)
+    wm.setup_topography(grid, ctx, hs)
+    spec0 = grid.analysis(jnp.asarray(np.stack([h5, u5, v5])))
+    state = ti.initial_state(spec0, (3,) + grid.spatial_shape, jnp.float64)
+    step = build_step(model, grid, ctx, jnp.float64)
+    state = make_scan(step, 5 * 432)(state)
+    out = np.asarray(grid.synthesis(state.spec)["val"])
+    assert np.isfinite(out).all()
+    surf = out[0] + hs
+    dev = surf - surf.mean(axis=1, keepdims=True)
+    rms = float(np.sqrt((dev**2).mean()))
+    assert 15.0 < rms < 120.0, rms  # measured ~32 m at day 5
+    assert 25.0 < out[1].max() < 45.0, out[1].max()  # jet spin-up
+    w_quad = bspline.mish_weights(
+        model.grid_params.xmin, model.grid_params.xmax,
+        model.grid_params.num_cells,
+    )
+    m0 = float((h5 * np.cos(phi) * w_quad[:, None]).sum())
+    m1 = float((out[0] * np.cos(phi) * w_quad[:, None]).sum())
+    assert abs(m1 - m0) / abs(m0) < 1e-5, (m0, m1)
