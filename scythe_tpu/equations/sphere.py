@@ -100,3 +100,139 @@ def AdvectionSphere(fields, ctx: EqContext) -> EqResult:
     return EqResult(
         expdot=stack_tendencies(ctx.grid.nvars, sh, dt, {0: dh})
     )
+
+
+@equation_set(geometry="SLZ")
+def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
+    """Global 3-D moist compressible core on the SLZ spherical shell —
+    pole to pole, with warm rain and the semi-implicit vertical acoustic
+    solve.
+
+    The spherical (shallow-atmosphere) sibling of MoistEulerRLZ: the
+    same (s, xi, mu) perturbation thermodynamics vs a hydrostatic
+    reference state, Ooyama microphysics, AI2* vertical acoustics, with
+    the cylindrical metric terms replaced by spherical ones (1/r ->
+    tan(phi)/a curvature, 1/(a cos(phi)) zonal metric, f = 2 Omega
+    sin(phi)).  No reference counterpart at any level: the reference is
+    a limited-area cylindrical-grid core.
+
+    Vars: s xi mu u v w mu_c mu_r qss  (u eastward, v northward, w up).
+    physical_params: K [m^2/s], Omega [1/s] (default Earth's).
+    """
+    from ..physics import microphysics as mp
+    from ..physics import thermodynamics as td
+
+    K = ctx.p("K")
+    Omega = ctx.p("Omega", 7.292e-5)
+    a = ctx.grid.params.sphere_radius
+    rs = ctx.ref_state
+    phi = ctx.coords["lat"]
+    cosp = jnp.cos(phi)
+    tanp = jnp.tan(phi)
+    f_cor = 2.0 * Omega * jnp.sin(phi)
+
+    val, dp, dpp, dl, dll, dz, dzz = (
+        fields["val"],
+        fields["dr"],
+        fields["drr"],
+        fields["dl"],
+        fields["dll"],
+        fields["dz"],
+        fields["dzz"],
+    )
+    s, xi, mu = val[0], val[1], val[2]
+    u, v, w = val[3], val[4], val[5]
+    mu_c, mu_r, qss = val[6], val[7], val[8]
+
+    sbar_z = rs.sbar[None, None, :, 1]
+    xibar_z = rs.xibar[None, None, :, 1]
+    mubar_z = rs.mubar[None, None, :, 1]
+    q_v, rho_d, Tk, p = td.thermodynamic_tuple(
+        s + rs.sbar[None, None, :, 0],
+        xi + rs.xibar[None, None, :, 0],
+        mu + rs.mubar[None, None, :, 0],
+    )
+    mu_total = mu + rs.mubar[None, None, :, 0]
+    q_c = td.ahyp(mu_c)
+    q_r = td.ahyp(mu_r)
+    q_l = q_c + q_r
+    rho_t = rho_d * (1.0 + q_v + q_l)
+    mu_fac = td.dmudq(mu_total, q_v)
+    rhobar = td.dry_density(rs.xibar[None, None, :, 0]) * (
+        1.0 + td.ahyp(rs.mubar[None, None, :, 0])
+    )
+    rho_p = rho_t - rhobar
+
+    # vectorized advection + spherical Laplacian-style diffusion over the
+    # full variable tensor (the MoistEulerRLZ pattern with spherical
+    # metrics); barz rows 3.. are zero and x - w*0 == x exactly
+    u3, v3, w3 = val[3:4], val[4:5], val[5:6]
+    zrow = jnp.zeros_like(sbar_z)
+    barz = jnp.stack(
+        [sbar_z, xibar_z, mubar_z, zrow, zrow, zrow, zrow, zrow, zrow]
+    )
+    adv_all = (
+        -(u3 / (a * cosp)) * dl - (v3 / a) * dp - w3 * dz - w3 * barz
+    )
+    lap_mask = jnp.asarray(
+        [1.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0], dp.dtype
+    )[:, None, None, None]
+    aa = a * a
+    lap_all = lap_mask * (
+        K * (dpp / aa + dll / (aa * cosp * cosp) - tanp * dp / aa + dzz)
+    )
+
+    # perturbation pressure gradients in all three directions
+    qvp_p = dp[2] / mu_fac
+    qvp_l = dl[2] / mu_fac
+    qvp_z = dz[2] / mu_fac
+    dpd_phi = td.pressure_gradient(Tk, rho_d, q_v, dp[0], dp[1], qvp_p)
+    dpd_lam = td.pressure_gradient(Tk, rho_d, q_v, dl[0], dl[1], qvp_l)
+    dpd_z = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+
+    N_c, r_c = 100.0, 10.0
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
+    cloudtau = mp.invtau_condensation(Tk, p, N_c, r_c)
+    raintau = mp.rain_evaporation(q_r, rho_d, Tk, p)
+    q_evap = -qss * raintau
+    q_auto = mp.autoconversion(q_c, rho_d)
+    q_coll = mp.collection(q_c, q_r, rho_d, Tk)
+    Vt = ctx.sedimentation(q_r, rho_d, Tk)
+    Vt_flux = ctx.grid.column_flux_derivative(q_r * Vt) / rho_d
+    Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
+    div3 = dl[3] / (a * cosp) + dp[4] / a - v * tanp / a + dz[5]
+    s_div = Cm * (td.Rd + q_v * td.Rv) * div3
+    qss_cond = (
+        mp.dqsdp(Tk, p, rho_d, q_v, q_l)
+        * (
+            (u / (a * cosp)) * dpd_lam
+            + (v / a) * dpd_phi
+            + w * (dpd_z - rhobar * td.GRAVITY)
+        )
+        - qss * (cloudtau + raintau)
+    )
+    curv = f_cor + u * tanp / a
+
+    nvars = ctx.grid.nvars
+    sh, dt = u.shape, u.dtype
+    extra, imp = {}, {}
+    extra[0] = s_cond + s_div
+    extra[1] = -div3
+    imp[1] = -dz[5]
+    extra[2] = mu_fac * (q_evap - q_cond)
+    imp[2] = q_v
+    extra[3] = curv * v - dpd_lam / (a * cosp * rho_t)
+    extra[4] = -curv * u - dpd_phi / (a * rho_t)
+    extra[5] = ((-td.GRAVITY * rho_p) - dpd_z) / rho_t
+    imp[5] = -(rs.Pxi_bar * dz[1])
+    extra[6] = ctx.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll)
+    extra[7] = ctx.dmudq_source(mu_r, q_r) * (
+        q_auto + q_coll - q_evap - Vt_flux
+    )
+    extra[8] = qss_cond
+    imp[8] = qss
+    return EqResult(
+        expdot=adv_all + lap_all + stack_tendencies(nvars, sh, dt, extra),
+        impdot=stack_tendencies(nvars, sh, dt, imp),
+    )

@@ -43,7 +43,10 @@ import numpy as np
 from ..basis import bspline, chebyshev, fourier
 from ..config import GridParameters
 
-GEOMETRIES = ("R", "RL", "RZ", "RLZ", "XYZ", "SL")
+GEOMETRIES = ("R", "RL", "RZ", "RLZ", "XYZ", "SL", "SLZ")
+# "SLZ": the 3-D spherical shell — SL plus a Chebyshev height column
+# (shallow-atmosphere: metric radius fixed at sphere_radius).  Rides the
+# RLZ structural paths end to end.
 # "SL" (beyond the reference's four geometries): a spherical shell
 # surface -- B-spline LATITUDE (xmin/xmax in radians; Gauss mish points
 # never reach the exact poles, the same way polar mish points never reach
@@ -164,7 +167,7 @@ class Grid:
         """Structural class: XYZ shares the RLZ array ranks/paths and SL
         shares the RL ones."""
         g = self.params.geometry
-        return {"XYZ": "RLZ", "SL": "RL"}.get(g, g)
+        return {"XYZ": "RLZ", "SL": "RL", "SLZ": "RLZ"}.get(g, g)
 
     @property
     def spatial_shape(self) -> tuple[int, ...]:
@@ -229,6 +232,12 @@ class Grid:
             out["l"] = out["lon"] = jnp.asarray(
                 fourier.angles(self.nl), self.dtype
             )[None, :]
+        elif self.geometry == "SLZ":
+            out["r"] = out["lat"] = r[:, None, None]
+            out["l"] = out["lon"] = jnp.asarray(
+                fourier.angles(self.nl), self.dtype
+            )[None, :, None]
+            out["z"] = jnp.asarray(self.z_mish, self.dtype)[None, None, :]
         elif self.geometry == "XYZ":
             out["r"] = out["x"] = r[:, None, None]
             out["y"] = jnp.asarray(self._y_points(), self.dtype)[None, :, None]
@@ -501,21 +510,21 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         sc = 2.0 * np.pi / (p.ymax - p.ymin)  # d/dlambda -> d/dy
         l_mats = _dense_lon_ops(grid, nl, prep, deriv_scale=sc)
 
-    # --- spherical longitude (SL shell) ---------------------------------
-    if p.geometry == "SL":
+    # --- spherical longitude (SL / SLZ shells) --------------------------
+    if p.geometry in ("SL", "SLZ"):
         if not p.lDim or p.lDim % 2:
-            raise ValueError("SL grids need an explicit even lDim (lon points)")
+            raise ValueError("SL/SLZ grids need an explicit even lDim (lon points)")
         if getattr(p, "l_factored", None):
-            raise ValueError("l_factored is not supported for SL grids")
+            raise ValueError("l_factored is not supported for SL/SLZ grids")
         if not (p.xmax > p.xmin and abs(p.xmin) <= np.pi / 2 + 1e-9
                 and abs(p.xmax) <= np.pi / 2 + 1e-9):
             raise ValueError(
-                f"SL latitude bounds must be RADIANS within [-pi/2, pi/2], "
+                f"SL/SLZ latitude bounds must be RADIANS within [-pi/2, pi/2], "
                 f"got [{p.xmin}, {p.xmax}] (degrees by mistake?)"
             )
         nl = p.lDim
         if nl > 2048:
-            raise ValueError("SL longitude is limited to 2048 points (dense DFT)")
+            raise ValueError("SL/SLZ longitude is limited to 2048 points (dense DFT)")
         a_sph = p.sphere_radius
         dphi = (p.xmax - p.xmin) / p.num_cells
         # ring circumference radius a*cos(lat) plays the role the polar
@@ -561,9 +570,9 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
             l_mats = _dense_lon_ops(grid, nl, prep)
 
     # --- vertical -------------------------------------------------------
-    if p.geometry in ("RZ", "RLZ", "XYZ"):
+    if p.geometry in ("RZ", "RLZ", "XYZ", "SLZ"):
         if p.zDim < 4:
-            raise ValueError("zDim must be >= 4 for RZ/RLZ/XYZ grids")
+            raise ValueError("zDim must be >= 4 for RZ/RLZ/XYZ/SLZ grids")
         anz = []
         for v in range(p.nvars):
             zops = chebyshev.build_ops(p.zDim, p.zmin, p.zmax, p.b_zDim, p.BCB[v], p.BCT[v])
@@ -612,6 +621,6 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
             ls, ld, ld2 = l_mats
             grid.l_deriv_f = _bf16(np.stack([ld, ld2]))
             grid.l_synth_f = _bf16(ls)
-        if p.geometry in ("RZ", "RLZ", "XYZ"):
+        if p.geometry in ("RZ", "RLZ", "XYZ", "SLZ"):
             grid.z_deriv_f = _bf16(np.stack(z_mats))
     return grid

@@ -52,6 +52,7 @@ _COORD_NAMES = {
     "RLZ": ["r", "l", "z"],
     "XYZ": ["x", "y", "z"],
     "SL": ["lat", "lon"],
+    "SLZ": ["lat", "lon", "z"],
 }
 
 

@@ -97,6 +97,7 @@ def build_step(
         "rainfall_test",
         "MoistEulerRLZ",
         "MoistEulerXYZ",
+        "MoistEulerSLZ",
     )
     si_ops = None
     if semiimplicit:
