@@ -115,20 +115,27 @@ def w5_fields(phi, lam):
 
 
 def setup_topography(grid, ctx, hs):
-    """Spectrally-filtered topography gradient -> ctx.extras['hs_grad']."""
+    """Spectrally-filtered topography gradient -> ctx.extras['hs_grad'].
+    Returns the FILTERED h_s (what the model actually feels) — use it,
+    not the raw cone, when reconstructing the free surface h + h_s
+    (the raw cone's slope kink leaves a static projection residual that
+    would pollute wave diagnostics).  Driver path: the same setup runs
+    inside initialize() from ``options['topography_file']``
+    (model._set_topography)."""
     import jax.numpy as jnp
 
     pad = np.zeros((grid.nvars,) + grid.spatial_shape)
     pad[0] = hs
     f = grid.synthesis(grid.analysis(jnp.asarray(pad)))
     ctx.extras["hs_grad"] = jnp.stack([f["dr"][0], f["dl"][0]])
+    return np.asarray(f["val"][0])
 
 
 def w6_phase_speed(R=4, omega=7.848e-6):
     return (R * (3 + R) * omega - 2 * OMEGA) / ((1 + R) * (2 + R))
 
 
-def run_case(model, phys0, n_steps, grid=None):
+def run_case(model, phys0, n_steps, grid=None, ctx=None):
     import jax.numpy as jnp
 
     from scythe_tpu import create_grid
@@ -138,7 +145,8 @@ def run_case(model, phys0, n_steps, grid=None):
     dtype = jnp.float64
     if grid is None:
         grid = create_grid(model.grid_params, dtype)
-    ctx = build_context(model, grid, dtype)
+    if ctx is None:
+        ctx = build_context(model, grid, dtype)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     state = ti.initial_state(spec0, phys0.shape, dtype)
     step = build_step(model, grid, ctx, dtype)
@@ -188,23 +196,14 @@ def main():
 
     model = build_model(ts=200.0)
     h5, u5, v5, hs = w5_fields(phi, lam)
-    # run_case rebuilds ctx internally, so drive this case directly
-    # (the topography extras must be attached before build_step)
-    from scythe_tpu import timeintegration as ti
-    from scythe_tpu.model import _pick_chunk, build_step, make_scan
+    from scythe_tpu.model import build_context
 
     g5 = create_grid(model.grid_params, jnp.float64)
     ctx5 = build_context(model, g5, jnp.float64)
-    setup_topography(g5, ctx5, hs)
-    spec0 = g5.analysis(jnp.asarray(np.stack([h5, u5, v5]), jnp.float64))
-    state = ti.initial_state(spec0, (3,) + g5.spatial_shape, jnp.float64)
-    step5 = build_step(model, g5, ctx5, jnp.float64)
-    chunk = _pick_chunk(432)
-    scan = make_scan(step5, chunk)
-    for _ in range(15 * 432 // chunk):
-        state = scan(state)
-    out = np.asarray(g5.synthesis(state.spec)["val"])
-    surf = out[0] + hs
+    hs_f = setup_topography(g5, ctx5, hs)
+    g5, out = run_case(model, np.stack([h5, u5, v5]), 15 * 432,
+                       grid=g5, ctx=ctx5)
+    surf = out[0] + hs_f
     dev = surf - surf.mean(axis=1, keepdims=True)
     print(
         f"W5 (flow over an isolated mountain, 15 days): lee-wave train "

@@ -35,15 +35,24 @@ model = ModelParameters(
 
 
 def write_ics(path=None):
+    """ICs from the validated example's w2_fields (single source of the
+    balance formula)."""
+    import importlib.util
+    import os
+
     from scythe_tpu import create_grid
 
+    spec = importlib.util.spec_from_file_location(
+        "williamson_example",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "williamson_sphere.py"),
+    )
+    wm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wm)
     grid = create_grid(model.grid_params)
     pts = grid.gridpoints()
-    phi = pts[:, 0]
-    u0 = 2.0 * np.pi * A_EARTH / (12.0 * 86400.0)
-    h = (2.94e4 - (A_EARTH * OMEGA * u0 + u0**2 / 2.0) * np.sin(phi) ** 2) / G
-    u = u0 * np.cos(phi)
+    h, u, v = wm.w2_fields(pts[:, 0])
     with open(path or model.initial_conditions, "w") as f:
         f.write("lat,lon,h,u,v\n")
-        for i in range(len(phi)):
-            f.write(f"{pts[i,0]},{pts[i,1]},{h[i]},{u[i]},0.0\n")
+        for i in range(len(h)):
+            f.write(f"{pts[i,0]},{pts[i,1]},{h[i]},{u[i]},{v[i]}\n")

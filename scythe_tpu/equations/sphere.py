@@ -222,6 +222,11 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     imp[1] = -dz[5]
     extra[2] = mu_fac * (q_evap - q_cond)
     imp[2] = q_v
+    # NB momentum diffusion here is the plain component-wise scalar
+    # Laplacian: the vector-Laplacian metric corrections (the spherical
+    # analogue of RLZ's -K u/r^2) are O(K/(a^2 cos^2 phi)) — negligible
+    # at planetary radius outside the masked pole rings — and are
+    # deliberately omitted.
     extra[3] = curv * v - dpd_lam / (a * cosp * rho_t)
     extra[4] = -curv * u - dpd_phi / (a * rho_t)
     extra[5] = ((-td.GRAVITY * rho_p) - dpd_z) / rho_t

@@ -251,8 +251,36 @@ def initialize(model: ModelParameters, dtype=None):
     phys0 = sio.read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     _set_boundary_refs(ctx, grid, spec0)
+    _set_topography(ctx, grid)
     state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
     return grid, ctx, state
+
+
+def _set_topography(ctx, grid):
+    """Optional bottom topography for the spherical shallow-water set:
+    ``options['topography_file']`` names a CSV (reference IC schema:
+    coordinate columns then an ``hs`` column on this grid's points).
+    The momentum PGF then acts on the free surface h + h_s via the
+    spectrally-filtered gradient (equations/sphere.py) — the same
+    derive-extras-inside-initialize pattern as the sponge/radiation
+    references below."""
+    topo = ctx.options.get("topography_file")
+    if not topo:
+        return
+    names, data = sio._read_csv(topo)
+    if "hs" not in names:
+        raise ValueError(f"topography file {topo} needs an 'hs' column")
+    if data.shape[0] != grid.num_points:
+        raise ValueError(
+            f"topography file {topo} has {data.shape[0]} rows; grid has "
+            f"{grid.num_points} points"
+        )
+    hs = data[:, names.index("hs")].reshape(grid.spatial_shape)
+    pad = np.zeros((grid.nvars,) + grid.spatial_shape)
+    pad[0] = hs
+    f = grid.synthesis(grid.analysis(jnp.asarray(pad)))
+    ctx.extras["hs_grad"] = jnp.stack([f["dr"][0], f["dl"][0]])
+    ctx.extras["hs_filtered"] = f["val"][0]
 
 
 def _set_boundary_refs(ctx, grid, spec0):

@@ -2,7 +2,7 @@
 core (MoistEulerSLZ).
 
 Measured context (docs/RESULTS.md): the zero-perturbation global state
-is preserved to machine zero (|w| ~ 3e-15 after 400 s — the hydrostatic
+is preserved to machine zero (|w| ~ 3e-15 after 600 steps / 150 s — the hydrostatic
 reference state is spectrally balanced and the spherical metric terms
 vanish identically on it), and a mid-latitude warm moist bubble rises
 through the column.  The vertical lid is 15 km: deeper columns lower
