@@ -1,4 +1,6 @@
-"""Grid objects: mixed-basis spectral transforms on R / RL / RZ / RLZ grids.
+"""Grid objects: mixed-basis spectral transforms on the reference's four
+geometries (R / RL / RZ / RLZ) plus the beyond-reference XYZ Cartesian
+box and SL / SLZ spherical shells.
 
 TPU-native reconstruction of the reference grid layer (un-vendored
 Springsteel; API contract at src/spectralGrid.jl:63-94 `createGrid` and the
