@@ -164,3 +164,38 @@ def test_slz_sharding_invariance(tmp_path):
     sstep = sh.build_sharded_step(model, grid, ctx, jnp.float64, mesh, "psum")
     spec = np.asarray(make_scan(sstep, 30)(st).spec)
     assert np.abs(spec - ref).max() < 1e-11 * np.abs(ref).max()
+
+
+def test_slz_csv_driver_roundtrip(tmp_path):
+    """SLZ through the standard driver: CSV ICs (lat,lon,z schema) ->
+    integrate_model -> CSV output -> read back."""
+    from scythe_tpu import integrate_model
+    from scythe_tpu.io import read_physical_grid
+
+    model = _model(tmp_path, T=5.0).with_(
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+    )
+    grid = create_grid(model.grid_params, jnp.float64)
+    pts = grid.gridpoints()
+    z = pts[:, 2]
+    s0 = 0.5 * np.exp(-(((z - 3000.0) / 2000.0) ** 2))
+    names = list(model.grid_params.vars)
+    with open(model.initial_conditions, "w") as f:
+        f.write("lat,lon,z," + ",".join(names) + "\n")
+        for i in range(len(z)):
+            vals = {"s": s0[i]}
+            f.write(
+                f"{pts[i,0]},{pts[i,1]},{pts[i,2]},"
+                + ",".join(str(vals.get(n, 0.0)) for n in names) + "\n"
+            )
+    grid2, phys = integrate_model(model)
+    assert np.isfinite(phys).all()
+    import os
+
+    outs = sorted(os.listdir(model.output_dir))
+    assert any(f.startswith("physical_out_5.0") for f in outs), outs
+    back = read_physical_grid(
+        os.path.join(model.output_dir, "physical_out_5.0.csv"), grid2
+    )
+    assert np.abs(back - phys).max() < 1e-12

@@ -230,3 +230,36 @@ def test_williamson5_mountain_flow():
     m0 = float((h5 * np.cos(phi) * w_quad[:, None]).sum())
     m1 = float((out[0] * np.cos(phi) * w_quad[:, None]).sum())
     assert abs(m1 - m0) / abs(m0) < 1e-5, (m0, m1)
+
+
+def test_topography_file_driver_path(tmp_path):
+    """options['topography_file'] wires the mountain through the standard
+    driver (initialize() derives the filtered hs gradient), so case-5
+    runs work via integrate_model / the CLI without hand-built contexts."""
+    from scythe_tpu import integrate_model
+
+    model = wm.build_model(ts=200.0, t_end=2000.0).with_(
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        options={"topography_file": str(tmp_path / "topo.csv")},
+    )
+    grid = create_grid(model.grid_params, jnp.float64)
+    pts = grid.gridpoints()
+    phi = pts[:, 0].reshape(grid.spatial_shape)
+    lam = pts[:, 1].reshape(grid.spatial_shape)
+    h5, u5, v5, hs = wm.w5_fields(phi, lam)
+    with open(model.initial_conditions, "w") as f:
+        f.write("lat,lon,h,u,v\n")
+        for a, b, c, d, e in zip(
+            pts[:, 0], pts[:, 1], h5.ravel(), u5.ravel(), v5.ravel()
+        ):
+            f.write(f"{a},{b},{c},{d},{e}\n")
+    with open(tmp_path / "topo.csv", "w") as f:
+        f.write("lat,lon,hs\n")
+        for a, b, c in zip(pts[:, 0], pts[:, 1], hs.ravel()):
+            f.write(f"{a},{b},{c}\n")
+    grid2, phys = integrate_model(model, write_outputs=False)
+    assert np.isfinite(phys).all()
+    # the mountain deflects the flow: meridional wind develops near it
+    # (with flat terrain v stays ~0 for this zonally-symmetric state)
+    assert np.abs(phys[2]).max() > 0.1, np.abs(phys[2]).max()
