@@ -51,6 +51,40 @@ class EqContext:
             return self.params[key]
         return self.params.get(key, default)
 
+    def stiff_rate(self, rate):
+        """Stability limiter for explicit linear relaxation rates (the qss
+        condensation/evaporation taus).  Default: identity — the reference
+        integrates ``-qss*rate`` explicitly, which is unstable once
+        ts*rate exceeds the AB3 real-axis limit (~0.545).  Since
+        invtau_condensation ~ 1/p, deep cold columns cross that limit
+        aloft (measured: the 20 km-lid blow-up previously misattributed
+        to the semi-implicit acoustic split, docs/RESULTS.md).  With
+        options['stiff_relaxation']='exp', the exponential-integrator
+        effective rate (1-exp(-rate*ts))/ts, capped at 0.4/ts for AB3
+        safety: equal to ``rate`` in the resolved limit, unconditionally
+        stable in the stiff limit, where it represents relaxation to the
+        same quasi-equilibrium over ~2 steps instead of instantaneously.
+        Pass the SAME limited rate everywhere the loop's rate appears
+        (relaxation term and q_cond/q_evap sources) so equilibria are
+        rate-ratio invariant."""
+        if self.options.get("stiff_relaxation") != "exp":
+            return rate
+        return jnp.minimum(-jnp.expm1(-rate * self.ts), 0.4) / self.ts
+
+    def pxi_si(self):
+        """Coefficient of the semi-implicit acoustic term -Pxi xi_z.
+        Default: the reference's column-mean scalar (ref
+        reference_state.jl:127-133).  With options['si_mode']='variable',
+        the full per-level profile [zDim] (broadcasts over the z-last
+        spatial axes) — the implicit vertical operator then carries the
+        reference column's real height-varying acoustics, lifting the
+        deep-column timestep ceiling (docs/NUMERICS.md).  Must match the
+        coefficient baked into the Helmholtz solve (model.build_step keys
+        both off the same option)."""
+        if self.options.get("si_mode", "constant") == "variable":
+            return self.ref_state.Pxi_prof
+        return self.ref_state.Pxi_bar
+
     def sedimentation(self, q_r, rho_d, Tk):
         """Rain terminal velocity.  Default: the reference's always-zero
         clamp quirk (microphysics.sedimentation).  With

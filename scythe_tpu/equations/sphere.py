@@ -191,10 +191,10 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     dpd_z = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
 
     N_c, r_c = 100.0, 10.0
-    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
+    raintau = ctx.stiff_rate(mp.rain_evaporation(q_r, rho_d, Tk, p))
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
-    cloudtau = mp.invtau_condensation(Tk, p, N_c, r_c)
-    raintau = mp.rain_evaporation(q_r, rho_d, Tk, p)
     q_evap = -qss * raintau
     q_auto = mp.autoconversion(q_c, rho_d)
     q_coll = mp.collection(q_c, q_r, rho_d, Tk)
@@ -230,7 +230,7 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     extra[3] = curv * v - dpd_lam / (a * cosp * rho_t)
     extra[4] = -curv * u - dpd_phi / (a * rho_t)
     extra[5] = ((-td.GRAVITY * rho_p) - dpd_z) / rho_t
-    imp[5] = -(rs.Pxi_bar * dz[1])
+    imp[5] = -(ctx.pxi_si() * dz[1])
     extra[6] = ctx.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll)
     extra[7] = ctx.dmudq_source(mu_r, q_r) * (
         q_auto + q_coll - q_evap - Vt_flux

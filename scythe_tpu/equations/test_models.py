@@ -120,7 +120,7 @@ def _euler_core(fields, ctx: EqContext, extra_vars: int):
         p=p,
         mubar0=rs.mubar[None, :, 0],
         xibar0=rs.xibar[None, :, 0],
-        pxi_bar=rs.Pxi_bar,
+        pxi_bar=ctx.pxi_si(),
     )
 
 
@@ -198,9 +198,9 @@ def BF02_test(fields, ctx: EqContext) -> EqResult:
     Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
     s_div = Cm * (td.Rd + q_v * td.Rv) * (dx[3] + dz[4])
     N_c, r_c = 500.0, 10.0
-    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    invtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=invtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
-    invtau = mp.invtau_condensation(Tk, p, N_c, r_c)
     qss_cond = (
         mp.dqsdp(Tk, p, rho_d, q_v, q_l)
         * ((u * dpdx) + (w * (dpdz - rhobar * td.GRAVITY)))
@@ -271,10 +271,10 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
     s_div = Cm * (td.Rd + q_v * td.Rv) * (dx[3] + dz[4])
     N_c, r_c = 100.0, 10.0
-    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
+    raintau = ctx.stiff_rate(mp.rain_evaporation(q_r, rho_d, Tk, p))
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
-    cloudtau = mp.invtau_condensation(Tk, p, N_c, r_c)
-    raintau = mp.rain_evaporation(q_r, rho_d, Tk, p)
     q_evap = -qss * raintau
     qss_cond = (
         mp.dqsdp(Tk, p, rho_d, q_v, q_l)
@@ -412,10 +412,10 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
 
     # microphysics (rainfall_test rates, testModels.jl:387-585)
     N_c, r_c = 100.0, 10.0
-    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
+    raintau = ctx.stiff_rate(mp.rain_evaporation(q_r, rho_d, Tk, p))
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
-    cloudtau = mp.invtau_condensation(Tk, p, N_c, r_c)
-    raintau = mp.rain_evaporation(q_r, rho_d, Tk, p)
     q_evap = -qss * raintau
     q_auto = mp.autoconversion(q_c, rho_d)
     q_coll = mp.collection(q_c, q_r, rho_d, Tk)
@@ -443,7 +443,7 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     extra[3] = (f_cor + v / r) * v - dpdr / rho_t - K * u / (r * r)
     extra[4] = -(f_cor + v / r) * u - dpdl / (r * rho_t) - K * v / (r * r)
     extra[5] = ((-td.GRAVITY * rho_p) - dpdz) / rho_t
-    imp[5] = -(rs.Pxi_bar * dz[1])
+    imp[5] = -(ctx.pxi_si() * dz[1])
     extra[6] = ctx.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll)
     extra[7] = ctx.dmudq_source(mu_r, q_r) * (
         q_auto + q_coll - q_evap - Vt_flux
@@ -518,10 +518,10 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
     s_div = Cm * (td.Rd + q_v * td.Rv) * (dx[3] + dy[4] + dz[5])
     N_c, r_c = 100.0, 10.0
-    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c)
+    cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
+    raintau = ctx.stiff_rate(mp.rain_evaporation(q_r, rho_d, Tk, p))
+    q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
-    cloudtau = mp.invtau_condensation(Tk, p, N_c, r_c)
-    raintau = mp.rain_evaporation(q_r, rho_d, Tk, p)
     q_evap = -qss * raintau
     qss_cond = (
         mp.dqsdp(Tk, p, rho_d, q_v, q_l)
@@ -554,7 +554,7 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     exp[3] = adv(3) + f_cor * v - dpdx / rho_t + lap(3)
     exp[4] = adv(4) - f_cor * u - dpdy / rho_t + lap(4)
     exp[5] = adv(5) + ((-td.GRAVITY * rho_p) - dpdz) / rho_t + lap(5)
-    imp[5] = -(rs.Pxi_bar * dz[1])
+    imp[5] = -(ctx.pxi_si() * dz[1])
     exp[6] = adv(6) + ctx.dmudq_source(mu_c, q_c) * (q_cond - q_auto - q_coll) + lap(6)
     exp[7] = adv(7) + ctx.dmudq_source(mu_r, q_r) * (
         q_auto + q_coll - q_evap - Vt_flux

@@ -103,12 +103,24 @@ def build_step(
     if semiimplicit:
         if ctx.ref_state is None:
             raise ValueError("semiimplicit integration requires a ref_state_file")
+        si_mode = opts.get("si_mode", "constant")
+        if si_mode not in ("constant", "variable"):
+            raise ValueError(
+                f"options['si_mode'] must be 'constant' or 'variable', "
+                f"got {si_mode!r}"
+            )
+        # 'variable': bake the per-level Pxi profile into the implicit
+        # operator so the reference column's full acoustics go implicit
+        # (deep-column stability, docs/NUMERICS.md); the equation sets pick
+        # the matching impdot coefficient via ctx.pxi_si().
         si_ops = ti.build_semiimplicit_ops(
             p.zDim,
             p.zmin,
             p.zmax,
             p.b_zDim,
-            float(ctx.ref_state.Pxi_bar),
+            np.asarray(ctx.ref_state.Pxi_prof, np.float64)
+            if si_mode == "variable"
+            else float(ctx.ref_state.Pxi_bar),
             model.ts,
             dtype,
         )

@@ -19,13 +19,18 @@ _TINY = 1.0e-37  # must be representable in float32: 1e-300 underflows to
 # wherever the dry stratosphere drives q_v to exact zero (docs/RESULTS.md)
 
 
-def q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c):
-    """(ref microphysics.jl:102-112)."""
+def q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=None):
+    """(ref microphysics.jl:102-112).  ``invtau`` overrides the internal
+    rate so callers can pass a stability-limited one (EqContext.stiff_rate)
+    consistently with the qss relaxation term — the equilibrium condensation
+    flux is then preserved because the same rate appears in both."""
     Q_s = Q_s_factor(Tk, p, q_v, q_l)
     q_cond = qss / (1.0 + Q_s)
     q_cond = jnp.minimum(q_v, q_cond)
     q_cond = jnp.maximum(-q_l, q_cond)
-    return q_cond * invtau_condensation(Tk, p, N_c, r_c)
+    if invtau is None:
+        invtau = invtau_condensation(Tk, p, N_c, r_c)
+    return q_cond * invtau
 
 
 def s_condensation(q_cond, Tk, rho_d, q_v, q_l, p):

@@ -25,11 +25,17 @@ class ReferenceState(NamedTuple):
     mubar: jnp.ndarray
     mu_lbar: jnp.ndarray
     Pxi_bar: jnp.ndarray
+    # per-level profile whose mean is Pxi_bar; drives the optional
+    # variable-coefficient semi-implicit operator (options['si_mode'] =
+    # 'variable', docs/NUMERICS.md) — [zDim]
+    Pxi_prof: jnp.ndarray
 
 
 def empty_reference_state(nz: int = 1, dtype=jnp.float32) -> ReferenceState:
     z = jnp.zeros((nz, 3), dtype)
-    return ReferenceState(z, z, z, z, jnp.asarray(0.0, dtype))
+    return ReferenceState(
+        z, z, z, z, jnp.asarray(0.0, dtype), jnp.zeros((nz,), dtype)
+    )
 
 
 def _transform_profile(vals: np.ndarray, zops: chebyshev.ChebyshevOps) -> np.ndarray:
@@ -100,22 +106,26 @@ def interpolate_reference_file(
     xibar = _transform_profile(np.asarray(td.log_dry_density(rho_d)), zops)
     mubar = _transform_profile(np.asarray(td.bhyp(q_v)), zops)
     mu_lbar = np.zeros((nz, 3))
-    pxi_bar = _pxi_bar(sbar, xibar, mubar)
+    pxi_prof = _pxi_profile(sbar, xibar, mubar)
     return ReferenceState(
         jnp.asarray(sbar, dtype),
         jnp.asarray(xibar, dtype),
         jnp.asarray(mubar, dtype),
         jnp.asarray(mu_lbar, dtype),
-        jnp.asarray(pxi_bar, dtype),
+        jnp.asarray(float(pxi_prof.mean()), dtype),
+        jnp.asarray(pxi_prof, dtype),
     )
 
 
-def _pxi_bar(sbar, xibar, mubar) -> float:
-    """Mean squared sound-speed factor (ref reference_state.jl:127-133)."""
+def _pxi_profile(sbar, xibar, mubar) -> np.ndarray:
+    """Per-level squared sound-speed factor Pxi/(rho (1+q)) of the reference
+    column.  Its column mean is the reference's scalar Pxi_bar (ref
+    reference_state.jl:127-133); the full profile feeds the optional
+    variable-coefficient semi-implicit operator (docs/NUMERICS.md)."""
     pxi = np.asarray(td.P_xi_from_s(sbar[:, 0], xibar[:, 0], mubar[:, 0]))
     rho_bar = np.asarray(td.dry_density(xibar[:, 0]))
     q_bar = np.asarray(td.ahyp(mubar[:, 0]))
-    return float(np.mean(pxi / (rho_bar * (1.0 + q_bar))))
+    return pxi / (rho_bar * (1.0 + q_bar))
 
 
 def exact_reference_state(
@@ -134,13 +144,14 @@ def exact_reference_state(
     xibar = _transform_profile(data[:, 2], zops)
     mubar = _transform_profile(data[:, 3], zops)
     mu_lbar = _transform_profile(data[:, 4], zops)
-    pxi_bar = _pxi_bar(sbar, xibar, mubar)
+    pxi_prof = _pxi_profile(sbar, xibar, mubar)
     return ReferenceState(
         jnp.asarray(sbar, dtype),
         jnp.asarray(xibar, dtype),
         jnp.asarray(mubar, dtype),
         jnp.asarray(mu_lbar, dtype),
-        jnp.asarray(pxi_bar, dtype),
+        jnp.asarray(float(pxi_prof.mean()), dtype),
+        jnp.asarray(pxi_prof, dtype),
     )
 
 

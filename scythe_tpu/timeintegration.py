@@ -89,18 +89,24 @@ def explicit_increment(var_np1, expdot_incr, t, ts):
 # Semi-implicit vertical Helmholtz machinery
 
 
-def helmholtz_matrix(nz: int, length: float, pxi_bar: float, ts_term: float) -> np.ndarray:
+def helmholtz_matrix(nz: int, length: float, pxi, ts_term: float) -> np.ndarray:
     """The reference's Helmholtz system matrix (ref
     calc_Helmholtz_semiimplicit_matrix, src/semiimplicit.jl:768-781):
     rows [bc_bottom; bc_top; interior rows 2..nz-1] of
     (ts_term^2 Pxi) d2 - S, with BC rows = (ts_term^2 Pxi) * S[0/nz-1, :].
+
+    ``pxi`` may be a scalar (the reference's column-mean constant) or an
+    [nz] per-level profile: rows are then scaled by the LOCAL coefficient,
+    so the implicit operator carries the reference column's full acoustics
+    (options['si_mode']='variable', docs/NUMERICS.md).  The scalar case is
+    the profile case with a constant profile — one code path.
     """
     s = chebyshev.dct_matrix(nz)
     d2 = chebyshev.dct_2nd_derivative(nz, length)
-    fac = ts_term * ts_term * pxi_bar
-    h = fac * d2 - s
-    bc1 = fac * s[0, :]
-    bc2 = fac * s[nz - 1, :]
+    fac = ts_term * ts_term * np.atleast_1d(np.asarray(pxi, np.float64))
+    h = fac[:, None] * d2 - s
+    bc1 = fac[0] * s[0, :]
+    bc2 = fac[-1] * s[nz - 1, :]
     return np.vstack([bc1, bc2, h[1 : nz - 1, :]])
 
 
@@ -113,7 +119,7 @@ class SemiImplicitOps(NamedTuple):
     col_deriv: jnp.ndarray  # [nz, nz] d/dz of the truncated refit
     synth: jnp.ndarray  # [nz, nz] coeff -> value
     dsynth: jnp.ndarray  # [nz, nz] coeff -> d/dz
-    pxi_bar: jnp.ndarray  # scalar
+    pxi_bar: jnp.ndarray  # scalar, or [nz] profile in the variable mode
     ts: float
     use_pallas: bool = False  # fused VMEM-resident kernel (TPU only)
 
@@ -122,6 +128,12 @@ def build_semiimplicit_ops(
     nz, zmin, zmax, bdim, pxi_bar, ts, dtype, use_pallas: bool | None = None
 ) -> SemiImplicitOps:
     length = zmax - zmin
+    if use_pallas and np.ndim(pxi_bar) > 0:
+        raise ValueError(
+            "the fused Pallas column solve supports only the "
+            "constant-coefficient mode (scalar pxi); si_mode='variable' "
+            "uses the einsum path"
+        )
     h1 = helmholtz_matrix(nz, length, pxi_bar, 0.5 * ts)
     h = helmholtz_matrix(nz, length, pxi_bar, 1.25 * ts)
     zops = chebyshev.build_ops(nz, zmin, zmax, bdim)

@@ -5,10 +5,12 @@ Measured context (docs/RESULTS.md): the zero-perturbation global state
 is preserved to machine zero (|w| ~ 3e-15 after 600 steps / 150 s — the hydrostatic
 reference state is spectrally balanced and the spherical metric terms
 vanish identically on it), and a mid-latitude warm moist bubble rises
-through the column.  The vertical lid is 15 km: deeper columns lower
-the semi-implicit timestep ceiling (the AI2* constant-Pxi split leaves
-deviation acoustics explicit — 20 km NaNs at ts = 0.25, runs at 0.1;
-also measured on RLZ, so it is a column property, not a sphere one).
+through the column.  The vertical lid here is 15 km; 20 km lids at this
+ts blow up under the DEFAULT reference-faithful microphysics because the
+explicit qss relaxation rate invtau ~ 1/p crosses the AB3 stability
+limit aloft (root cause pinned in tests/test_stiff_relaxation.py, which
+also pins the fix: options['stiff_relaxation']='exp' runs the 20 km
+column at ts = 1.0).
 """
 
 import tempfile
