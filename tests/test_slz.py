@@ -96,6 +96,31 @@ def test_slz_global_balance(tmp_path):
     assert np.abs(phys[3]).max() < 1e-10
 
 
+def test_slz_deep_shell_with_stiff_relaxation(tmp_path):
+    """The 20 km whole-stratosphere global shell at ts = 1.0: unstable
+    under the default reference-faithful rates (ts*invtau > the AB3
+    limit aloft), machine zero with options['stiff_relaxation']='exp'
+    (root cause + RZ pins in tests/test_stiff_relaxation.py)."""
+    import dataclasses
+
+    m0 = _model(tmp_path, ts=1.0)
+    gp = dataclasses.replace(m0.grid_params, zmax=20000.0)
+    model = dataclasses.replace(
+        m0, grid_params=gp, options={**m0.opts(), "stiff_relaxation": "exp"}
+    )
+    grid = create_grid(gp, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    spec0 = grid.analysis(
+        jnp.asarray(np.zeros((grid.nvars,) + grid.spatial_shape))
+    )
+    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, jnp.float64)
+    step = build_step(model, grid, ctx, jnp.float64)
+    state = make_scan(step, 120)(state)  # 120 s
+    phys = np.asarray(grid.synthesis(state.spec)["val"])
+    assert np.isfinite(phys).all()
+    assert np.abs(phys[5]).max() < 1e-10
+
+
 def test_slz_midlatitude_bubble_rises(tmp_path):
     """A warm moist thermal at 30N rises through the global column; the
     rest of the sphere stays quiet apart from radiated gravity waves."""
