@@ -67,6 +67,82 @@ def infer_radiation_speed(params: dict, opts: dict) -> float:
     return float(rad_c)
 
 
+def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype):
+    """Per-step scale-selective modal damping in coefficient space — the
+    convection-permitting stability lever classic cloud models get from
+    hyperdiffusion/limiters (beyond-reference; the reference has only the
+    l_q spline penalty + 2/3 dealiasing, and its ∇²K diffusion is not
+    scale-selective enough to survive a mature deep-convective cell —
+    measured forensic trail in docs/RESULTS.md).
+
+    Exact exponential damping with e-folding time ``tau`` at the grid
+    scale, falling as (scale fraction)^order toward resolved scales:
+      * B-spline radial axis: F_r = V exp(-(ts/tau) λ/λmax) Vᵀ from the
+        eigendecomposition of the coefficient 4th-difference D₂ᵀD₂ (≈ ∂⁴
+        of the spline, wrap-around when the geometry is periodic) — a
+        true ∇⁴-type operator at dense-[b_r,b_r]-matmul cost;
+      * Fourier axis: exp(-(ts/tau)(|k|/kmax)^order) per wavenumber;
+      * Chebyshev axis: exp(-(ts/tau)(n/nmax)^order) per mode.
+    All factors are ≤ 1 (unconditionally stable) and equal 1 at the
+    largest scales.  Returns a function spec -> spec.
+    """
+    from .basis import fourier
+
+    p = grid.params
+    g = grid._struct
+    a = ts / tau
+
+    br = p.b_rDim
+    # periodic radial/x basis (e.g. the XYZ periodic box) wraps the stencil
+    from .config import BC
+
+    bcl = (
+        list(p.BCL.values()) if isinstance(p.BCL, dict) else list(p.BCL or ())
+    )
+    periodic = bool(bcl) and all(v == BC.PERIODIC for v in bcl)
+    d2 = np.zeros((br, br))
+    for i in range(br):
+        if periodic:
+            d2[i, i] = -2.0
+            d2[i, (i - 1) % br] = 1.0
+            d2[i, (i + 1) % br] = 1.0
+        elif 1 <= i <= br - 2:
+            d2[i, i] = -2.0
+            d2[i, i - 1] = 1.0
+            d2[i, i + 1] = 1.0
+    d4 = d2.T @ d2
+    lam, vec = np.linalg.eigh(d4)
+    lmax = lam.max()
+    f_r = (vec * np.exp(-a * np.clip(lam / lmax, 0.0, None))) @ vec.T
+    F_r = jnp.asarray(f_r, dtype)
+
+    f_l = f_z = None
+    if g in ("RL", "RLZ"):
+        if grid.l_fact is not None:
+            # factored-DFT slot layout: |k| per slot from the -k^2 map
+            k = np.sqrt(np.maximum(-np.asarray(grid.l_fact.fd.k_d2), 0.0))
+        else:
+            k = np.abs(fourier.coeff_wavenumbers(grid.nl)).astype(np.float64)
+        kmax = max(k.max(), 1.0)
+        f_l = jnp.asarray(np.exp(-a * (k / kmax) ** order), dtype)
+    if g in ("RZ", "RLZ"):
+        n = np.arange(p.zDim, dtype=np.float64)
+        nmax = max(p.zDim - 1, 1)
+        f_z = jnp.asarray(np.exp(-a * (n / nmax) ** order), dtype)
+
+    def apply(spec):
+        out = jnp.einsum("ab,vb...->va...", F_r, spec)
+        if g == "RL":
+            out = out * f_l[None, None, :]
+        elif g == "RZ":
+            out = out * f_z[None, None, :]
+        elif g == "RLZ":
+            out = out * f_l[None, None, :, None] * f_z[None, None, None, :]
+        return out
+
+    return apply
+
+
 def build_step(
     model: ModelParameters,
     grid: Grid,
@@ -181,6 +257,17 @@ def build_step(
             )
         rad_ref_dr = ctx.extras["radiation_ref_dr"]
 
+    # Optional per-step modal filter (exact exponential grid-scale damping
+    # in coefficient space, build_modal_filter).  Off by default — the
+    # convection-permitting stabilizer for configurations whose mature
+    # cells outrun the l_q/dealias/∇²K trio (docs/RESULTS.md).
+    modal_filter = None
+    mf_tau = float(opts.get("modal_filter_tau", 0.0) or 0.0)
+    if mf_tau > 0.0:
+        modal_filter = build_modal_filter(
+            grid, mf_tau, int(opts.get("modal_filter_order", 4)), ts, dtype
+        )
+
     def step(state: ti.ModelState) -> ti.ModelState:
         fields = synthesis_fn(state.spec)
         res = eqset(fields, ctx)
@@ -217,6 +304,8 @@ def build_step(
         if needs_condensation:
             var_np1 = mp.condensation_adjustment(var_np1, impdot, ctx)
         spec_new = analysis_fn(var_np1)
+        if modal_filter is not None:
+            spec_new = modal_filter(spec_new)
         return ti.ModelState(
             spec=spec_new,
             expdot_nm1=e_nm1,

@@ -106,9 +106,19 @@ def pressure(s, rho_d, q_v):
     return 0.01 * Rd * Tk * rho_d + 0.01 * Rv * Tk * rho_d * q_v
 
 
+# Buck-formula temperature guard: the fit has a pole at Tk ~ 15.3 K
+# (Tc + 257.87 = 0) where exp(...) overflows — (p - e_s)^2 then hits Inf
+# and NaN-poisons the whole spectral state in one transform (measured:
+# the final stage of the mature-cell collapse, docs/RESULTS.md).  Inputs
+# are clipped to the range where the fit is meaningful; physical states
+# never reach the clip, runaway states stay finite (and diffusible)
+# instead of detonating.
+_T_SAT_MIN, _T_SAT_MAX = 100.0, 400.0
+
+
 def sat_pressure_liquid_buck(Tk, phPa):
     """Buck (1981) with pressure enhancement (ref thermodynamics.jl:113-130)."""
-    Tc = Tk - 273.15
+    Tc = jnp.clip(Tk - 273.15, _T_SAT_MIN - 273.15, _T_SAT_MAX - 273.15)
     fw4 = 1.0 + 7.2e-4 + phPa * (3.20e-6 + 5.9e-10 * Tc**2)
     ew4 = 6.1121 * jnp.exp((18.729 - Tc / 227.3) * Tc / (Tc + 257.87))
     return fw4 * ew4
@@ -116,7 +126,7 @@ def sat_pressure_liquid_buck(Tk, phPa):
 
 def sat_pressure_liquid_buck_dT(Tk, phPa):
     """d/dT of the Buck formula (ref thermodynamics.jl:132-153)."""
-    Tc = Tk - 273.15
+    Tc = jnp.clip(Tk - 273.15, _T_SAT_MIN - 273.15, _T_SAT_MAX - 273.15)
     C = 5.9e-10
     fw4 = 1.0 + 7.2e-4 + phPa * (3.20e-6 + C * Tc**2)
     d_fw4 = 2.0 * phPa * C * Tc
@@ -129,7 +139,7 @@ def sat_pressure_liquid_buck_dT(Tk, phPa):
 
 
 def sat_pressure_ice_buck(Tk, phPa):
-    Tc = Tk - 273.15
+    Tc = jnp.clip(Tk - 273.15, _T_SAT_MIN - 273.15, _T_SAT_MAX - 273.15)
     fi4 = 1.0 + 2.2e-4 + phPa * (3.83e-6 + 6.4e-10 * Tc**2)
     ei3 = 6.1115 * jnp.exp((23.036 - Tc / 333.7) * Tc / (Tc + 279.82))
     return fi4 * ei3

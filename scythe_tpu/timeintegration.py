@@ -139,9 +139,10 @@ def build_semiimplicit_ops(
     zops = chebyshev.build_ops(nz, zmin, zmax, bdim)
     r0a = zops.constrain @ zops.analysis
     if use_pallas is None:
-        # opt-in until validated end-to-end on real TPU hardware (the
-        # tunnel's availability windows have not yet allowed a compiled
-        # Mosaic run of this kernel); the einsum path is the default.
+        # measured on real TPU (tools/validate_pallas.py, docs/RESULTS.md):
+        # the einsum path at Precision.HIGHEST is both more accurate and
+        # ~10% faster than the compensated Mosaic kernel at these operator
+        # sizes, so einsum stays the default and the kernel stays opt-in.
         use_pallas = False
     return SemiImplicitOps(
         hinv_t1=jnp.asarray(np.linalg.inv(h1), dtype),

@@ -1,0 +1,110 @@
+"""Modal filter (options['modal_filter_tau']) + saturation-formula guard.
+
+Both came out of the mature-cell collapse forensics (docs/RESULTS.md):
+the collapse ends in a local thermodynamic runaway whose terminal NaN is
+the Buck formula's pole at Tk ~ 15.3 K overflowing; upstream, the
+grid-scale hot tower grows because the l_q/dealias/∇²K trio is not
+scale-selective enough at convection-permitting resolution.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from scythe_tpu import BC, GridParameters, create_grid
+from scythe_tpu.model import build_modal_filter
+from scythe_tpu.physics import thermodynamics as td
+
+
+def _xyz_grid():
+    gp = GridParameters(
+        geometry="XYZ",
+        xmin=0.0,
+        xmax=60000.0,
+        num_cells=24,
+        lDim=8,
+        ymin=0.0,
+        ymax=20000.0,
+        zmin=0.0,
+        zmax=15000.0,
+        zDim=16,
+        BCL={"h": BC.PERIODIC},
+        BCR={"h": BC.PERIODIC},
+        vars={"h": 1},
+    )
+    return create_grid(gp, jnp.float64)
+
+
+def test_modal_filter_scale_selectivity():
+    grid = _xyz_grid()
+    filt = build_modal_filter(grid, tau=60.0, order=4, ts=0.25, dtype=jnp.float64)
+    pts = grid.gridpoints()
+    x = pts[:, 0].reshape(grid.spatial_shape)
+    z = pts[:, 2].reshape(grid.spatial_shape)
+
+    # large-scale field: survives one full grid-scale e-fold time >99.9%
+    smooth = np.sin(2 * np.pi * x / 60000.0) * np.cos(np.pi * z / 15000.0)
+    spec = grid.analysis(jnp.asarray(smooth[None]))
+    spec_f = spec
+    for _ in range(240):  # 60 s at ts = 0.25
+        spec_f = filt(spec_f)
+    v0 = np.asarray(grid.synthesis(spec)["val"][0])
+    v1 = np.asarray(grid.synthesis(spec_f)["val"][0])
+    assert np.sqrt(((v1 - v0) ** 2).mean()) < 1e-2 * np.sqrt((v0**2).mean())
+
+    # grid-scale noise: meaningfully damped over the same window
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(grid.spatial_shape)
+    spec = grid.analysis(jnp.asarray(noise[None]))
+    spec_f = spec
+    for _ in range(240):
+        spec_f = filt(spec_f)
+    n0 = np.asarray(grid.synthesis(spec)["val"][0])
+    n1 = np.asarray(grid.synthesis(spec_f)["val"][0])
+    assert np.sqrt((n1**2).mean()) < 0.85 * np.sqrt((n0**2).mean())
+
+    # contraction: no factor may amplify (unconditional stability)
+    r = rng.standard_normal(spec.shape)
+    out = np.asarray(filt(jnp.asarray(r)))
+    assert np.linalg.norm(out) <= np.linalg.norm(r) * (1.0 + 1e-12)
+
+
+def test_modal_filter_fourier_chebyshev_factors():
+    """The non-radial factors match the advertised law per mode."""
+    grid = _xyz_grid()
+    ts, tau, order = 0.25, 60.0, 4
+    filt = build_modal_filter(grid, tau=tau, order=order, ts=ts, dtype=jnp.float64)
+    # a pure highest-k Fourier mode along y decays by exp(-ts/tau) per call
+    spec = jnp.zeros((1,) + grid.spectral_shape[1:])
+    from scythe_tpu.basis import fourier
+
+    k = np.abs(fourier.coeff_wavenumbers(grid.nl))
+    kidx = int(np.argmax(k))
+    spec = spec.at[0, 4, kidx, 0].set(1.0)
+    ratio = float(np.asarray(filt(spec))[0, 4, kidx, 0])
+    # isolate the Fourier factor from the radial one by comparing the
+    # identical radial impulse at k_max vs k = 0
+    spec0 = jnp.zeros_like(spec).at[0, 4, 0, 0].set(1.0)
+    r0 = float(np.asarray(filt(spec0))[0, 4, 0, 0])
+    assert abs(ratio / r0 - np.exp(-ts / tau)) < 1e-12
+
+
+def test_saturation_formula_guard():
+    """Runaway temperatures must produce finite (garbage-but-bounded)
+    saturation values instead of Inf/NaN: the Buck fit's pole at
+    Tk ~ 15.3 K previously overflowed (p - e_s)^2 to Inf and NaN-poisoned
+    the global spectral state in one transform."""
+    for T in (1.0, 4.7, 15.3, 16.0, 30.0, 443.0, 2000.0):
+        es = float(td.sat_pressure_liquid_buck(jnp.asarray(T), 50.0))
+        des = float(td.sat_pressure_liquid_buck_dT(jnp.asarray(T), 50.0))
+        ei = float(td.sat_pressure_ice_buck(jnp.asarray(T), 50.0))
+        assert np.isfinite([es, des, ei]).all(), T
+    # physical range is untouched by the clip
+    for T in (180.0, 230.0, 280.0, 330.0):
+        Tc = T - 273.15
+        raw = (1.0 + 7.2e-4 + 900.0 * (3.20e-6 + 5.9e-10 * Tc**2)) * (
+            6.1121 * np.exp((18.729 - Tc / 227.3) * Tc / (Tc + 257.87))
+        )
+        assert np.isclose(
+            float(td.sat_pressure_liquid_buck(jnp.asarray(T), 900.0)), raw,
+            rtol=1e-14,
+        )
