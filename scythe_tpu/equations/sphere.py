@@ -178,8 +178,22 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
         [1.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0], dp.dtype
     )[:, None, None, None]
     aa = a * a
+    # optional Smagorinsky closure (physics/turbulence.py), spherical
+    # metric-scaled derivatives; curvature terms of the strain omitted
+    cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
+    K_eff = K
+    if cs > 0.0:
+        from ..physics import turbulence as tb
+
+        acl = a * cosp
+        K_eff = K + tb.smagorinsky_viscosity(
+            ctx.grid, ctx.ts, cs,
+            (dp[3] / a, dl[3] / acl, dz[3]),
+            (dp[4] / a, dl[4] / acl, dz[4]),
+            (dp[5] / a, dl[5] / acl, dz[5]), dp.dtype,
+        )
     lap_all = lap_mask * (
-        K * (dpp / aa + dll / (aa * cosp * cosp) - tanp * dp / aa + dzz)
+        K_eff * (dpp / aa + dll / (aa * cosp * cosp) - tanp * dp / aa + dzz)
     )
 
     # perturbation pressure gradients in all three directions

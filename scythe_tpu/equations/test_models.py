@@ -398,8 +398,21 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     lap_mask = jnp.asarray(
         [1.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0], dr.dtype
     )[:, None, None, None]
+    # optional Smagorinsky closure (physics/turbulence.py) with the
+    # azimuthal derivative metric-scaled; the curvature diffusion terms
+    # (-K u/r^2 below) stay at the constant K (stabilizer-form closure)
+    cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
+    K_eff = K
+    if cs > 0.0:
+        from ..physics import turbulence as tb
+
+        K_eff = K + tb.smagorinsky_viscosity(
+            ctx.grid, ctx.ts, cs,
+            (dr[3], dl[3] / r, dz[3]), (dr[4], dl[4] / r, dz[4]),
+            (dr[5], dl[5] / r, dz[5]), dr.dtype,
+        )
     lap_all = lap_mask * (
-        K * (drr + dr / r + dll / (r * r) + dzz)
+        K_eff * (drr + dr / r + dll / (r * r) + dzz)
     )
 
     # pressure gradients (perturbation form, all three directions)
@@ -539,9 +552,22 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
         wdz = dz[i] if bar_z is None else (dz[i] + bar_z)
         return (-u * dx[i]) + (-v * dy[i]) + (-w * wdz)
 
+    # optional Smagorinsky closure on top of the constant K
+    # (physics/turbulence.py; capped at the explicit diffusion CFL)
+    cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
+    K_eff = K
+    if cs > 0.0:
+        from ..physics import turbulence as tb
+
+        K_eff = K + tb.smagorinsky_viscosity(
+            ctx.grid, ctx.ts, cs,
+            (dx[3], dy[3], dz[3]), (dx[4], dy[4], dz[4]),
+            (dx[5], dy[5], dz[5]), u.dtype,
+        )
+
     def lap(i):
         # rainfall_test's K*(dxx + dzz) with dyy inserted in the middle
-        return K * (dxx[i] + dyy[i] + dzz[i])
+        return K_eff * (dxx[i] + dyy[i] + dzz[i])
 
     nvars = ctx.grid.nvars
     sh, dt = u.shape, u.dtype

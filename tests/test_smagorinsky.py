@@ -1,0 +1,119 @@
+"""Smagorinsky eddy-viscosity closure (options['smagorinsky'], ROADMAP
+item 3's documented remaining lever — physics/turbulence.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from scythe_tpu import BC, ZBC, GridParameters, ModelParameters, create_grid
+from scythe_tpu.physics import turbulence as tb
+
+VARS = {
+    "s": 1, "xi": 2, "mu": 3, "u": 4, "v": 5, "w": 6,
+    "mu_c": 7, "mu_r": 8, "qss": 9,
+}
+
+
+def _xyz_grid(nx=12, ny=8, nz=16):
+    gp = GridParameters(
+        geometry="XYZ",
+        xmin=0.0,
+        xmax=24000.0,
+        num_cells=nx,
+        lDim=ny,
+        ymin=0.0,
+        ymax=8000.0,
+        zmin=0.0,
+        zmax=10000.0,
+        zDim=nz,
+        BCL={n: BC.PERIODIC for n in VARS},
+        BCR={n: BC.PERIODIC for n in VARS},
+        BCB={"s": ZBC.R1T1, "u": ZBC.R1T1, "v": ZBC.R1T1, "mu": ZBC.R1T1,
+             "mu_c": ZBC.R1T1, "w": ZBC.R1T0},
+        BCT={"s": ZBC.R1T1, "u": ZBC.R1T1, "v": ZBC.R1T1, "mu": ZBC.R1T1,
+             "mu_c": ZBC.R1T1, "mu_r": ZBC.R1T1, "w": ZBC.R1T0},
+        vars=VARS,
+    )
+    return create_grid(gp, jnp.float64)
+
+
+def test_pure_shear_viscosity_formula():
+    """du/dz = gamma gives |S| = gamma, so K_t = (Cs*Delta)^2 * gamma
+    wherever the cap is not binding."""
+    grid = _xyz_grid()
+    shape = grid.spatial_shape
+    gamma = 1.0e-3
+    zero = jnp.zeros(shape)
+    sz = jnp.full(shape, gamma)
+    kt = np.asarray(
+        tb.smagorinsky_viscosity(
+            grid, 0.25, 0.18,
+            (zero, zero, sz), (zero, zero, zero), (zero, zero, zero),
+            jnp.float64,
+        )
+    )
+    dx, dy, dz = tb.length_scales(grid)
+    delta = (dx * dy * dz) ** (1.0 / 3.0)  # [nz]
+    expect = (0.18 * delta) ** 2 * gamma
+    cap = 0.2 / (0.25 * (1.0 / dx**2 + 1.0 / dy**2 + 1.0 / dz**2))
+    expect = np.minimum(expect, cap)
+    assert np.allclose(kt, expect[None, None, :], rtol=1e-12)
+    assert kt.max() > 1.0  # a real viscosity at cloud-model scales
+
+    # zero flow -> zero viscosity
+    kt0 = np.asarray(
+        tb.smagorinsky_viscosity(
+            grid, 0.25, 0.18,
+            (zero, zero, zero), (zero, zero, zero), (zero, zero, zero),
+            jnp.float64,
+        )
+    )
+    assert kt0.max() == 0.0
+
+
+def test_viscosity_capped_at_diffusive_cfl():
+    """An exploding strain rate must not push K_t past the explicit
+    diffusion stability limit — the closure may never destabilize the
+    run it exists to stabilize."""
+    grid = _xyz_grid()
+    shape = grid.spatial_shape
+    zero = jnp.zeros(shape)
+    huge = jnp.full(shape, 1.0e3)  # absurd 1000/s strain
+    ts = 0.25
+    kt = np.asarray(
+        tb.smagorinsky_viscosity(
+            grid, ts, 0.18, (huge, huge, huge), (huge, huge, huge),
+            (huge, huge, huge), jnp.float64,
+        )
+    )
+    dx, dy, dz = tb.length_scales(grid)
+    cap = 0.2 / (ts * (1.0 / dx**2 + 1.0 / dy**2 + 1.0 / dz**2))
+    assert (kt <= cap[None, None, :] * (1 + 1e-12)).all()
+    # and the cap actually binds for this input
+    assert np.isclose(kt.max(), cap.max(), rtol=1e-9)
+
+
+def test_xyz_bubble_runs_with_closure(tmp_path):
+    """End-to-end: the XYZ moist bubble with smagorinsky=0.18 stays
+    finite, still rises, and the closure does not amplify the velocity
+    extremes relative to the constant-K run (it only ever ADDS
+    viscosity)."""
+    import dataclasses
+
+    import tests.test_xyz as tx
+
+    gp, grid = tx._xyz_grid()
+    pts = grid.gridpoints()
+    x = pts[:, 0].reshape(grid.spatial_shape)
+    z = pts[:, 2].reshape(grid.spatial_shape)
+    phys0 = np.zeros((grid.nvars,) + grid.spatial_shape)
+    phys0[0] = tx._bubble_s(x, z)
+    outs = {}
+    for name, extra in (("base", {}), ("smag", {"smagorinsky": 0.18})):
+        model = tx._model(tmp_path, gp, "MoistEulerXYZ", "ics.csv")
+        model = dataclasses.replace(model, options={**model.opts(), **extra})
+        outs[name] = tx._run(model, grid, phys0, 300)  # 60 s at ts = 0.2
+    for name, phys in outs.items():
+        assert np.isfinite(phys).all(), name
+    w_b, w_s = outs["base"][5], outs["smag"][5]
+    assert w_s.max() > 0.01  # bubble still rises
+    assert w_s.max() <= w_b.max() * 1.05  # closure does not amplify
