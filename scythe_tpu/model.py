@@ -143,6 +143,83 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype):
     return apply
 
 
+def build_surface_fluxes(grid: Grid, ctx: EqContext, cfg: dict, dtype):
+    """Bulk-aerodynamic air-sea fluxes (beyond-reference): the WISHE
+    engine of tropical-cyclone intensification (Emanuel 1986; Rotunno &
+    Emanuel 1987).  options['surface_fluxes'] = {'sst': K, 'Ck': 1.2e-3,
+    'Cd': 1.5e-3, 'depth': 600.0, 'wind_floor': 1.0}.
+
+    Standard bulk formulas evaluated at the lowest model level:
+    enthalpy/moisture fluxes Ck |U| (x_sea* - x_air) toward the saturated
+    sea-surface state at the prescribed SST (x* from the framework's own
+    thermodynamics at the reference-state surface pressure), and momentum
+    drag -Cd |U| u.  Deposited over an exp(-z/depth) profile normalized
+    to unit mass-column integral on the model levels — the spectral-
+    vertical analog of a surface-layer flux divergence (a Chebyshev
+    column cannot take a delta-function flux BC).  Moisture enters as a
+    mu tendency through the same dmudq Jacobian convention the
+    microphysics sources use.  Requires the moist perturbation variables
+    (s, mu, u[, v]) and a reference state.  Returns expdot -> expdot.
+    """
+    from .physics import thermodynamics as td
+
+    p = grid.params
+    vi = p.var_index
+    rs = ctx.ref_state
+    if rs is None:
+        raise ValueError("options['surface_fluxes'] requires a ref_state_file")
+    for need in ("s", "mu", "u"):
+        if need not in p.vars:
+            raise ValueError(
+                f"options['surface_fluxes'] needs variable {need!r} "
+                f"(moist Euler family); got {list(p.vars)}"
+            )
+    sst = float(cfg["sst"])
+    ck = float(cfg.get("Ck", 1.2e-3))
+    cd = float(cfg.get("Cd", 1.5e-3))
+    depth = float(cfg.get("depth", 600.0))
+    floor = float(cfg.get("wind_floor", 1.0))
+
+    z = np.asarray(grid.z_mish, np.float64)
+    wz = np.exp(-(z - z[0]) / depth)
+    trapz = getattr(np, "trapezoid", None) or np.trapz
+    wz = wz / trapz(wz, z)  # [1/m], unit column integral on model levels
+    wz = jnp.asarray(wz, dtype)
+
+    sbar0 = float(rs.sbar[0, 0])
+    xibar0 = float(rs.xibar[0, 0])
+    mubar0 = float(rs.mubar[0, 0])
+    _, rho0, _, p0 = (
+        float(x) for x in td.thermodynamic_tuple(sbar0, xibar0, mubar0)
+    )
+    q_star = float(td.q_sat_liquid(jnp.asarray(sst), p0))
+    s_star = float(td.entropy(jnp.asarray(sst), rho0, q_star))
+
+    i_s, i_mu, i_u = vi("s"), vi("mu"), vi("u")
+    i_v = vi("v") if "v" in p.vars else None
+
+    def apply(expdot, phys):
+        u1 = phys[i_u][..., 0]
+        spd2 = u1 * u1 + floor * floor
+        if i_v is not None:
+            v1 = phys[i_v][..., 0]
+            spd2 = spd2 + v1 * v1
+        spd = jnp.sqrt(spd2)
+        s1 = phys[i_s][..., 0] + sbar0
+        mu1 = phys[i_mu][..., 0] + mubar0
+        q1 = td.ahyp(mu1)
+        f_s = ck * spd * (s_star - s1)
+        f_mu = ck * spd * (q_star - q1) * td.dmudq(mu1, q1)
+        expdot = expdot.at[i_s].add(f_s[..., None] * wz)
+        expdot = expdot.at[i_mu].add(f_mu[..., None] * wz)
+        expdot = expdot.at[i_u].add((-cd * spd * u1)[..., None] * wz)
+        if i_v is not None:
+            expdot = expdot.at[i_v].add((-cd * spd * v1)[..., None] * wz)
+        return expdot
+
+    return apply
+
+
 def build_step(
     model: ModelParameters,
     grid: Grid,
@@ -268,6 +345,12 @@ def build_step(
             grid, mf_tau, int(opts.get("modal_filter_order", 4)), ts, dtype
         )
 
+    # Optional bulk air-sea fluxes (build_surface_fluxes): off by default.
+    sfx_apply = None
+    sfx_cfg = opts.get("surface_fluxes")
+    if sfx_cfg:
+        sfx_apply = build_surface_fluxes(grid, ctx, dict(sfx_cfg), dtype)
+
     def step(state: ti.ModelState) -> ti.ModelState:
         fields = synthesis_fn(state.spec)
         res = eqset(fields, ctx)
@@ -275,6 +358,8 @@ def build_step(
         for v, arr in res.overrides.items():
             phys = phys.at[v].set(arr)
         expdot = res.expdot
+        if sfx_apply is not None:
+            expdot = sfx_apply(expdot, phys)
         if rad_blend is not None:
             rad_dot = -rad_c * (fields["dr"] - rad_ref_dr)
             expdot = (1.0 - rad_blend)[None] * expdot + rad_blend[None] * rad_dot
