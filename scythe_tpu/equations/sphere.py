@@ -191,6 +191,7 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
             (dp[3] / a, dl[3] / acl, dz[3]),
             (dp[4] / a, dl[4] / acl, dz[4]),
             (dp[5] / a, dl[5] / acl, dz[5]), dp.dtype,
+            n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
         )
     lap_all = lap_mask * (
         K_eff * (dpp / aa + dll / (aa * cosp * cosp) - tanp * dp / aa + dzz)
@@ -210,6 +211,15 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
     q_evap = -qss * raintau
+    if ctx.options.get("condensation") == "diagnostic":
+        # phase change handled by the post-step full saturation adjustment
+        # (condensation_adjustment, same option); rain evaporation becomes
+        # the Kessler-style subsaturation form.  s needs no extra source:
+        # s is moist entropy, conserved under phase change up to the
+        # irreversible correction the adjustment applies.
+        q_cond = jnp.zeros_like(Tk)
+        s_cond = jnp.zeros_like(Tk)
+        q_evap = raintau * jnp.maximum(td.q_sat_liquid(Tk, p) - q_v, 0.0)
     q_auto = mp.autoconversion(q_c, rho_d)
     q_coll = mp.collection(q_c, q_r, rho_d, Tk)
     Vt = ctx.sedimentation(q_r, rho_d, Tk)

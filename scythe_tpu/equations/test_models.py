@@ -201,6 +201,10 @@ def BF02_test(fields, ctx: EqContext) -> EqResult:
     invtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=invtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
+    if ctx.options.get("condensation") == "diagnostic":
+        # full saturation adjustment replaces the prognostic-qss source
+        q_cond = jnp.zeros_like(Tk)
+        s_cond = jnp.zeros_like(Tk)
     qss_cond = (
         mp.dqsdp(Tk, p, rho_d, q_v, q_l)
         * ((u * dpdx) + (w * (dpdz - rhobar * td.GRAVITY)))
@@ -276,6 +280,15 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
     q_evap = -qss * raintau
+    if ctx.options.get("condensation") == "diagnostic":
+        # phase change handled by the post-step full saturation adjustment
+        # (condensation_adjustment, same option); rain evaporation becomes
+        # the Kessler-style subsaturation form.  s needs no extra source:
+        # s is moist entropy, conserved under phase change up to the
+        # irreversible correction the adjustment applies.
+        q_cond = jnp.zeros_like(Tk)
+        s_cond = jnp.zeros_like(Tk)
+        q_evap = raintau * jnp.maximum(td.q_sat_liquid(Tk, p) - q_v, 0.0)
     qss_cond = (
         mp.dqsdp(Tk, p, rho_d, q_v, q_l)
         * ((u * dpdx) + (w * (dpdz - rhobar * td.GRAVITY)))
@@ -410,6 +423,7 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
             ctx.grid, ctx.ts, cs,
             (dr[3], dl[3] / r, dz[3]), (dr[4], dl[4] / r, dz[4]),
             (dr[5], dl[5] / r, dz[5]), dr.dtype,
+            n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
         )
     lap_all = lap_mask * (
         K_eff * (drr + dr / r + dll / (r * r) + dzz)
@@ -430,6 +444,15 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
     q_evap = -qss * raintau
+    if ctx.options.get("condensation") == "diagnostic":
+        # phase change handled by the post-step full saturation adjustment
+        # (condensation_adjustment, same option); rain evaporation becomes
+        # the Kessler-style subsaturation form.  s needs no extra source:
+        # s is moist entropy, conserved under phase change up to the
+        # irreversible correction the adjustment applies.
+        q_cond = jnp.zeros_like(Tk)
+        s_cond = jnp.zeros_like(Tk)
+        q_evap = raintau * jnp.maximum(td.q_sat_liquid(Tk, p) - q_v, 0.0)
     q_auto = mp.autoconversion(q_c, rho_d)
     q_coll = mp.collection(q_c, q_r, rho_d, Tk)
     Vt = ctx.sedimentation(q_r, rho_d, Tk)
@@ -536,6 +559,15 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
     q_evap = -qss * raintau
+    if ctx.options.get("condensation") == "diagnostic":
+        # phase change handled by the post-step full saturation adjustment
+        # (condensation_adjustment, same option); rain evaporation becomes
+        # the Kessler-style subsaturation form.  s needs no extra source:
+        # s is moist entropy, conserved under phase change up to the
+        # irreversible correction the adjustment applies.
+        q_cond = jnp.zeros_like(Tk)
+        s_cond = jnp.zeros_like(Tk)
+        q_evap = raintau * jnp.maximum(td.q_sat_liquid(Tk, p) - q_v, 0.0)
     qss_cond = (
         mp.dqsdp(Tk, p, rho_d, q_v, q_l)
         * ((u * dpdx) + (v * dpdy) + (w * (dpdz - rhobar * td.GRAVITY)))
@@ -563,6 +595,7 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
             ctx.grid, ctx.ts, cs,
             (dx[3], dy[3], dz[3]), (dx[4], dy[4], dz[4]),
             (dx[5], dy[5], dz[5]), u.dtype,
+            n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
         )
 
     def lap(i):

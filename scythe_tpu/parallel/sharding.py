@@ -350,6 +350,13 @@ def build_sharded_step(
     """
     n = mesh.shape[AXIS]
     _check_divisible(grid, n)
+    if float(model.opts().get("modal_filter_tau", 0.0) or 0.0) > 0.0:
+        raise NotImplementedError(
+            "options['modal_filter_tau'] is not yet supported by the "
+            "sharded driver: the radial filter factor is a global "
+            "coefficient-space operator (model.build_modal_filter); run "
+            "single-device or drop the filter"
+        )
     rows = grid.params.rDim // n
     hops = HaloOps(grid, n, interface) if method == "halo" else None
 

@@ -219,8 +219,27 @@ def condensation_adjustment(var_np1, impdot_n, ctx):
     q_sat = td.q_sat_liquid(Tk, p)
     Q_s = Q_s_factor(Tk, p, q_v, q_l)
 
-    tau_r = 0.25
-    q_cond = (q_v - q_sat - qss) / (1.0 + Q_s)
+    # Default: the reference's partial relaxation toward the qss-shifted
+    # saturation (tau_r = 0.25 per step).  options['condensation'] =
+    # 'diagnostic' switches to a RATE-CAPPED saturation adjustment (no
+    # qss shift): supersaturation is removed toward saturation every
+    # step, but the per-step phase change is bounded by
+    # options['condensation_rate_cap'] (kg/kg/s, default 2e-4) * ts.
+    # The cap is essential on a spectral basis: an UNCAPPED full
+    # adjustment is an impulsive pointwise source whose global spectral
+    # re-projection rings, and the rung points re-fire the adjustment —
+    # a measured ~10x/step ringing-adjustment resonance
+    # (docs/RESULTS.md).  The cap keeps each increment spectrally gentle
+    # while still bounding the latent-heating RATE a grid-point storm
+    # can extract — the property the prognostic-qss scheme lacks.
+    if ctx.options.get("condensation") == "diagnostic":
+        tau_r = 1.0
+        cap = float(ctx.options.get("condensation_rate_cap", 2.0e-4)) * ctx.ts
+        q_cond = (q_v - q_sat) / (1.0 + Q_s)
+        q_cond = jnp.clip(q_cond, -cap, cap)
+    else:
+        tau_r = 0.25
+        q_cond = (q_v - q_sat - qss) / (1.0 + Q_s)
     q_cond = jnp.minimum(q_v, q_cond)
     q_cond = jnp.maximum(-q_c, q_cond)  # restrict to condensate, not rain
     mu_new = mu - tau_r * td.dmudq(mu_total, q_v) * q_cond

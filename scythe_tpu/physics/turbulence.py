@@ -24,8 +24,14 @@ import numpy as np
 
 
 def length_scales(grid):
-    """(dx, dy, dz[nz]) mean physical spacings of the three directions for
-    the grid's structural class; dz is the local Chebyshev spacing."""
+    """(dx, dy, dz) physical spacings of the three directions for the
+    grid's structural class.  dx is the mean radial mish spacing
+    (scalar); dy is the per-ring azimuthal arc spacing ([rDim] array on
+    polar/spherical grids — 2 pi r / nl with r the ring radius, clipped
+    below at dx — or a scalar for the uniform XYZ y axis); dz is the
+    local Chebyshev spacing ([nz]).  Per-ring dy keeps the closure
+    shard-invariant (a shard's rows carry the same r values as the
+    global grid) and physically scale-aware at the poles/axis."""
     p = grid.params
     g = grid._struct
     dx = (p.xmax - p.xmin) / max(p.rDim, 1)
@@ -33,12 +39,10 @@ def length_scales(grid):
         if grid.geometry == "XYZ":
             dy = (p.ymax - p.ymin) / max(grid.nl, 1)
         else:
-            # azimuthal arc at the mid radius (metric spacing varies with
-            # r; the cap below uses the same representative value)
-            r_mid = 0.5 * (abs(p.xmin) + abs(p.xmax))
+            r = np.asarray(grid.r_mish, np.float64)
             if grid.geometry in ("SL", "SLZ"):
-                r_mid = p.sphere_radius * 0.7  # ~cos(45 deg) ring
-            dy = 2.0 * np.pi * max(r_mid, dx) / max(grid.nl, 1)
+                r = p.sphere_radius * np.cos(r)  # ring radius a cos(lat)
+            dy = 2.0 * np.pi * np.maximum(np.abs(r), dx) / max(grid.nl, 1)
     else:
         dy = None
     if g in ("RZ", "RLZ"):
@@ -52,13 +56,22 @@ def length_scales(grid):
     return dx, dy, dz
 
 
-def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype):
+def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
+                          pr=1.0 / 3.0):
     """Capped Smagorinsky viscosity field.
 
     ``du``/``dv``/``dw``: tuples of the PHYSICAL derivatives of each
     velocity component, (d/dx, d/dy, d/dz) with entries None where the
     direction does not exist.  Returns K_t with the spatial shape of the
     inputs.
+
+    ``n2``: optional squared buoyancy frequency field.  When given, the
+    Lilly (1962) Richardson-number factor sqrt(max(1 - Ri/Pr, 0)) scales
+    the strain: mixing is ENHANCED in statically unstable layers
+    (Ri < 0 — e.g. the superadiabatic surface layer a flux-heated BL
+    develops without a PBL scheme) and shut off in strongly stratified
+    ones (Ri > Pr).  The moist equation sets pass the dry-entropy
+    estimate N^2 = (g/Cpd) d(s_total)/dz.
     """
     dx, dy, dz = length_scales(grid)
 
@@ -77,18 +90,32 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype):
     smag2 = 2.0 * (
         sq(du[0]) + sq(dv[1] if dv else None) + sq(dw[2] if dw else None)
     ) + 4.0 * (sq(s12) + sq(s13) + sq(s23))
+    if n2 is not None:
+        ri = n2 / jnp.maximum(smag2, 1.0e-12)
+        smag2 = smag2 * jnp.maximum(1.0 - ri / pr, 0.0)
     smag = jnp.sqrt(smag2)
 
-    # filter scale: geometric mean of the available spacings
-    scales = [dx] + ([dy] if dy is not None else [])
-    inv2 = 1.0 / dx**2 + (1.0 / dy**2 if dy is not None else 0.0)
-    if dz is not None:
-        delta = (np.prod(scales) * dz) ** (1.0 / (len(scales) + 1))
-        cap = 0.2 / (ts * (inv2 + 1.0 / dz**2))  # [nz]
-        delta = jnp.asarray(delta, dtype)
-        cap = jnp.asarray(cap, dtype)
+    # filter scale: geometric mean of the available spacings, built in
+    # broadcastable form against the z-last spatial layout ([r,(l),(z)]).
+    # dy may be a per-ring [rDim] array on polar/spherical grids.
+    has_z = dz is not None
+    if isinstance(dy, np.ndarray):
+        dy_b = dy[:, None, None] if has_z else dy[:, None]
     else:
-        delta = float(np.prod(scales) ** (1.0 / len(scales)))
-        cap = 0.2 / (ts * inv2)
-    k_t = (cs * delta) ** 2 * smag
-    return jnp.minimum(k_t, cap)
+        dy_b = dy  # scalar or None
+    if has_z:
+        dz_b = dz[None, None, :] if dy is not None else dz[None, :]
+
+    ndirs = 1 + (dy is not None) + has_z
+    prod = np.asarray(dx, np.float64)
+    inv2 = np.asarray(1.0 / dx**2, np.float64)
+    if dy is not None:
+        prod = prod * dy_b
+        inv2 = inv2 + 1.0 / np.asarray(dy_b) ** 2
+    if has_z:
+        prod = prod * dz_b
+        inv2 = inv2 + 1.0 / dz_b**2
+    delta = prod ** (1.0 / ndirs)
+    cap = 0.2 / (ts * inv2)
+    k_t = (cs * jnp.asarray(delta, dtype)) ** 2 * smag
+    return jnp.minimum(k_t, jnp.asarray(cap, dtype))
