@@ -38,11 +38,16 @@ def s_condensation(q_cond, Tk, rho_d, q_v, q_l, p):
     Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
     e = td.vapor_pressure(p, q_v)
     sat_e = td.sat_pressure_liquid_buck(Tk, p)
-    e_safe = jnp.maximum(e, _TINY)
+    # Guard the RATIO, not just e: max(e, _TINY)/sat_e still underflows to
+    # 0.0 in float32 wherever sat_e > ~10 hPa (warm low levels) because XLA
+    # flushes subnormals, and log(0) = -inf turns the masked q_cond = 0
+    # branch into 0 * -inf = NaN (measured at f32 with an exactly-dry
+    # point; tests/test_diagnostic_condensation.py).
+    ratio = jnp.maximum(e / sat_e, _TINY)
     return q_cond * (
         (-td.L_v(Tk) * Cm) / Tk
         - td.Cl * jnp.log(Tk / td.T_0)
-        + td.Rv * jnp.log(e_safe / sat_e)
+        + td.Rv * jnp.log(ratio)
     )
 
 

@@ -258,3 +258,21 @@ def test_sharded_matches_single_fastderiv(tmp_path, method):
         )
     scale = np.abs(np.asarray(ref.spec)).max()
     assert np.abs(spec - np.asarray(ref.spec)).max() < 1e-3 * scale
+
+
+def test_modal_filter_not_supported_sharded(tmp_path):
+    """options['modal_filter_tau'] applies a GLOBAL coefficient-space
+    operator the sharded drivers do not yet distribute — the guard must
+    refuse loudly rather than silently skip the filter."""
+    import dataclasses
+
+    model = _advection_setup(tmp_path)
+    model = dataclasses.replace(
+        model, options={**model.opts(), "modal_filter_tau": 30.0}
+    )
+    mesh = sh.make_mesh(8)
+    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh)
+    with pytest.raises(NotImplementedError):
+        sh.build_sharded_step(
+            model, grid2, ctx2, jnp.float64, mesh, "psum", "gather"
+        )

@@ -117,3 +117,65 @@ def test_xyz_bubble_runs_with_closure(tmp_path):
     w_b, w_s = outs["base"][5], outs["smag"][5]
     assert w_s.max() > 0.01  # bubble still rises
     assert w_s.max() <= w_b.max() * 1.05  # closure does not amplify
+
+
+def test_richardson_factor_scales_strain():
+    """The Lilly (1962) stability factor: n2 = 0 is a no-op, Ri >= Pr
+    shuts the closure off, and statically unstable stratification
+    enhances it by sqrt(1 - Ri/Pr)."""
+    grid = _xyz_grid()
+    shape = grid.spatial_shape
+    gamma = 1.0e-4  # small enough that the CFL cap never binds
+    zero = jnp.zeros(shape)
+    sz = jnp.full(shape, gamma)
+    du, dv, dw = (zero, zero, sz), (zero, zero, zero), (zero, zero, zero)
+    pr = 1.0 / 3.0
+
+    def kt(n2):
+        return np.asarray(
+            tb.smagorinsky_viscosity(
+                grid, 0.25, 0.18, du, dv, dw, jnp.float64, n2=n2, pr=pr
+            )
+        )
+
+    base = kt(None)
+    assert base.max() > 0.0
+    assert np.allclose(kt(jnp.zeros(shape)), base, rtol=1e-12)  # neutral
+    # Ri = Pr -> exact shutoff; beyond stays zero (no sqrt of a negative)
+    assert kt(jnp.full(shape, pr * gamma**2)).max() == 0.0
+    far = kt(jnp.full(shape, 100.0 * gamma**2))
+    assert far.max() == 0.0 and np.isfinite(far).all()
+    # Ri = -3*Pr -> factor sqrt(1 + 3) = 2 on |S|
+    assert np.allclose(kt(jnp.full(shape, -3.0 * pr * gamma**2)),
+                       2.0 * base, rtol=1e-9)
+
+
+def test_per_ring_arc_length_scale_polar():
+    """Polar grids get a per-ring azimuthal arc spacing 2*pi*max(r,dx)/nl
+    (shard-invariant and pole/axis-aware), not a single mid-radius value."""
+    gp = GridParameters(
+        geometry="RL", xmin=0.0, xmax=3.0e5, num_cells=32, lDim=32,
+        BCL={"h": BC.R1T1, "u": BC.R1T0},
+        BCR={"h": BC.R0, "u": BC.R1T1},
+        vars={"h": 1, "u": 2},
+    )
+    grid = create_grid(gp, jnp.float64)
+    dx, dy, dz = tb.length_scales(grid)
+    assert dz is None
+    expect = 2.0 * np.pi * np.maximum(np.abs(grid.r_mish), dx) / grid.nl
+    assert isinstance(dy, np.ndarray) and dy.shape == (gp.rDim,)
+    assert np.allclose(dy, expect)
+    # innermost rings are clipped at dx; the outermost is the true arc
+    assert np.isclose(dy[-1], 2.0 * np.pi * grid.r_mish[-1] / grid.nl,
+                      rtol=1e-6)
+    # viscosity broadcasts the [rDim] dy over the (r, l) spatial shape
+    shape = grid.spatial_shape
+    zero = jnp.zeros(shape)
+    g = jnp.full(shape, 1.0e-3)
+    kt = np.asarray(
+        tb.smagorinsky_viscosity(
+            grid, 3.0, 0.2, (g, zero, None), (zero, zero, None), None,
+            jnp.float64,
+        )
+    )
+    assert kt.shape == shape and np.isfinite(kt).all() and kt.max() > 0.0
