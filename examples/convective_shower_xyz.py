@@ -26,8 +26,15 @@ envelope"):
   exponential boundary runaway (docs/RESULTS.md);
 * the default 45-minute window covers the first shower raining out and
   the secondary DEEP convection it triggers (w to +-15 m/s by ~56 min);
-  the measured stability envelope at this 1.25 km resolution ends in the
-  mature extreme cell around t ~ 3400-3600 s;
+  with the default (reference-matching) prognostic-qss condensation the
+  measured stability envelope at this 1.25 km resolution ends in the
+  mature extreme cell around t ~ 3200-3600 s;
+* for LONG convection-resolving runs, add
+  ``options['condensation'] = 'diagnostic'`` (rate-capped saturation
+  adjustment) AND ``options['modal_filter_tau'] = 30.0`` — the measured
+  stable pair (a 6 h / 86,400-step run completes with no growth;
+  docs/RESULTS.md "Diagnostic condensation closes the grid-storm
+  envelope"; probe: tools/shower_envelope.py);
 * ts respects the horizontal acoustic CFL (min mish gap 0.2254*dx).
 
 Usage:
