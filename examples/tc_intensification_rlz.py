@@ -45,7 +45,16 @@ ZTOP = 20.0e3
 
 def jordan_sounding(path):
     """Jordan-like mean tropical sounding: moist BL, conditionally
-    unstable troposphere, isothermal ~203 K stratosphere above 15 km."""
+    unstable troposphere, isothermal ~203 K stratosphere above 15 km.
+
+    The humidity profile is CAPPED at 70% of saturation (vs an
+    approximate hydrostatic T/p column): the original flat stratospheric
+    qv exceeded q_sat at the 192-205 K upper levels (RH to 2.8), and a
+    supersaturated reference column makes condensation fire at t = 0
+    over whole layers — the measured blow-up mechanism of this
+    experiment's first version (same trap the convective-shower sounding
+    documents; the global spectral transform then spreads the top-layer
+    runaway everywhere)."""
     zs = np.linspace(0.0, 24000.0, 97)
     ztr, thtr, ttr = 15000.0, 365.0, 203.0
     theta = np.where(
@@ -53,8 +62,34 @@ def jordan_sounding(path):
         300.0 + (thtr - 300.0) * (zs / ztr) ** 1.25,
         thtr * np.exp(9.81 / (1004.0 * ttr) * (zs - ztr)),
     )
-    qv = np.where(zs <= 1000.0, 16.0, 16.0 * np.exp(-(zs - 1000.0) / 2700.0))
-    qv = np.where(zs > 10000.0, 0.02, qv)
+    # Smooth (C-inf) humidity profile: softplus knee at 1 km, 2.7 km
+    # decay, super-Gaussian cutoff to ~zero above ~11 km.  Smoothness
+    # matters as much as the cap: the reference-state spline/Chebyshev
+    # re-integration RINGS around kinks, and at 192-205 K stratospheric
+    # temperatures q_sat (~0.015 g/kg) is smaller than the ringing of a
+    # kinked profile.
+    x = (zs - 1000.0) / 2700.0
+    qv = 16.0 * np.exp(-(np.logaddexp(0.0, x) - np.logaddexp(0.0, x[0])))
+    # floor at a realistic stratospheric 0.003 g/kg (~5 ppmv): EXACTLY
+    # zero vapor (the super-Gaussian underflows above ~16 km) still
+    # NaNs the moist state functions within steps, floor >> ringing
+    qv = np.maximum(qv * np.exp(-((zs / 11000.0) ** 8)), 0.003)
+    # approximate hydrostatic column -> Buck saturation -> RH cap
+    kappa = 287.0 / 1004.0
+    p = np.empty_like(zs)
+    T = np.empty_like(zs)
+    p[0] = 1015.0e2
+    T[0] = theta[0] * (p[0] / 1.0e5) ** kappa
+    for i in range(1, len(zs)):
+        dz = zs[i] - zs[i - 1]
+        Ti = theta[i] * (p[i - 1] / 1.0e5) ** kappa  # provisional
+        rho = p[i - 1] / (287.0 * 0.5 * (T[i - 1] + Ti))
+        p[i] = p[i - 1] - rho * 9.81 * dz
+        T[i] = theta[i] * (p[i] / 1.0e5) ** kappa
+    tc = T - 273.15
+    es = 6.1121 * np.exp((18.678 - tc / 234.5) * tc / (257.14 + tc))  # hPa
+    qsat = 622.0 * es / (p / 100.0 - es)  # g/kg
+    qv = np.minimum(qv, 0.7 * qsat)
     with open(path, "w") as f:
         f.write(f"1015.0 {theta[0]} {qv[0]}\n")
         for z, th, q in zip(zs[1:], theta[1:], qv[1:]):
@@ -70,7 +105,7 @@ def initial_vortex(r, z, vmax=12.0, rm=82.5e3):
 
 
 def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
-                fluxes=True):
+                fluxes=True, stable=False):
     from scythe_tpu import BC, ZBC, GridParameters, ModelParameters
 
     os.makedirs(out_dir, exist_ok=True)
@@ -98,6 +133,11 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
         "sponge_width": 100.0e3,
         "sponge_tau": 1800.0,
     }
+    if stable:
+        # the measured stable pair for long moist runs (docs/RESULTS.md
+        # "Diagnostic condensation closes the grid-storm envelope")
+        options["condensation"] = "diagnostic"
+        options["modal_filter_tau"] = 30.0
     if fluxes:
         options["surface_fluxes"] = {
             "sst": SST, "Ck": 1.2e-3, "Cd": 1.5e-3, "depth": 600.0,
@@ -176,6 +216,8 @@ def main():
     ap.add_argument("--hours", type=float, default=48.0)
     ap.add_argument("--cells", type=int, default=50)
     ap.add_argument("--no-fluxes", action="store_true")
+    ap.add_argument("--stable", action="store_true",
+                    help="diagnostic condensation + tau=30 modal filter")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -198,7 +240,7 @@ def main():
     out = "./tc_intensification_out"
     model = build_model(out, num_cells=args.cells,
                        t_end=args.hours * 3600.0,
-                       fluxes=not args.no_fluxes)
+                       fluxes=not args.no_fluxes, stable=args.stable)
     dtype = default_dtype()
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
