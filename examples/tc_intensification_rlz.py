@@ -134,10 +134,15 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
         "sponge_tau": 1800.0,
     }
     if stable:
-        # the measured stable pair for long moist runs (docs/RESULTS.md
-        # "Diagnostic condensation closes the grid-storm envelope")
+        # Diagnostic condensation ONLY — measured 72 h stable here.  The
+        # XYZ-shower stable PAIR does not transfer: at 10 km radial
+        # cells the balanced vortex core spans a few cells, and the
+        # radial ∇⁴ modal filter damps the warm-core pressure field on a
+        # ~40 min timescale; the resulting gradient-wind imbalance
+        # drives spurious inflow and a moist runaway at r ~ 25 km
+        # (measured, tools/probe_tc_blowup.py; docs/RESULTS.md).  Use
+        # modal_filter_axes='l' if azimuthal filtering is wanted.
         options["condensation"] = "diagnostic"
-        options["modal_filter_tau"] = 30.0
     if fluxes:
         options["surface_fluxes"] = {
             "sst": SST, "Ck": 1.2e-3, "Cd": 1.5e-3, "depth": 600.0,

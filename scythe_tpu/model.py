@@ -67,7 +67,8 @@ def infer_radiation_speed(params: dict, opts: dict) -> float:
     return float(rad_c)
 
 
-def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype):
+def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype,
+                       axes: str = "rlz"):
     """Per-step scale-selective modal damping in coefficient space — the
     convection-permitting stability lever classic cloud models get from
     hyperdiffusion/limiters (beyond-reference; the reference has only the
@@ -77,47 +78,63 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype):
 
     Exact exponential damping with e-folding time ``tau`` at the grid
     scale, falling as (scale fraction)^order toward resolved scales:
-      * B-spline radial axis: F_r = V exp(-(ts/tau) λ/λmax) Vᵀ from the
-        eigendecomposition of the coefficient 4th-difference D₂ᵀD₂ (≈ ∂⁴
-        of the spline, wrap-around when the geometry is periodic) — a
-        true ∇⁴-type operator at dense-[b_r,b_r]-matmul cost;
+      * B-spline radial axis, PER VARIABLE: F_v = Q V exp(-(ts/tau)
+        λ/λmax) Vᵀ Qᵀ where Q is an orthonormal basis of range(T_v)
+        (the variable's BC-constraint subspace, bspline.
+        constraint_matrix) and (λ, V) eigendecompose the coefficient
+        4th-difference energy (D₂ Q)ᵀ(D₂ Q) restricted to it — a true
+        ∇⁴-type operator at dense-[b_r,b_r]-matmul cost that CANNOT
+        move the state off its boundary conditions.  (The first
+        version filtered raw coefficients; on bounded geometries that
+        pushed spec out of range(T) and the per-step BC violation at
+        the r→0 axis grew into a runaway — measured on the RLZ TC
+        experiment, tools/probe_tc_blowup.py.  For periodic bases this
+        form is also exactly wrap-preserving.)
       * Fourier axis: exp(-(ts/tau)(|k|/kmax)^order) per wavenumber;
       * Chebyshev axis: exp(-(ts/tau)(n/nmax)^order) per mode.
-    All factors are ≤ 1 (unconditionally stable) and equal 1 at the
-    largest scales.  Returns a function spec -> spec.
+    All factors are ≤ 1 (unconditionally stable; symmetric with
+    spectrum in [0, 1]) and equal 1 at the largest scales.  Returns a
+    function spec -> spec.
+
+    ``axes`` (options['modal_filter_axes'], default "rlz") selects which
+    spectral directions are filtered.  Vertical ("z") filtering damps
+    the near-wall Chebyshev modes that carry REAL boundary-layer
+    structure — on the RLZ TC experiment (thin surface entropy layer
+    under a balanced vortex) the z factor alone destabilized an
+    otherwise-quiet run (tools/probe_tc_blowup.py); "rl" filters the
+    horizontal directions only, which is where grid-point-storm
+    variance lives.
     """
-    from .basis import fourier
+    from .basis import bspline, fourier
 
     p = grid.params
     g = grid._struct
     a = ts / tau
 
     br = p.b_rDim
-    # periodic radial/x basis (e.g. the XYZ periodic box) wraps the stencil
-    from .config import BC
-
-    bcl = (
-        list(p.BCL.values()) if isinstance(p.BCL, dict) else list(p.BCL or ())
-    )
-    periodic = bool(bcl) and all(v == BC.PERIODIC for v in bcl)
     d2 = np.zeros((br, br))
-    for i in range(br):
-        if periodic:
-            d2[i, i] = -2.0
-            d2[i, (i - 1) % br] = 1.0
-            d2[i, (i + 1) % br] = 1.0
-        elif 1 <= i <= br - 2:
-            d2[i, i] = -2.0
-            d2[i, i - 1] = 1.0
-            d2[i, i + 1] = 1.0
-    d4 = d2.T @ d2
-    lam, vec = np.linalg.eigh(d4)
-    lmax = lam.max()
-    f_r = (vec * np.exp(-a * np.clip(lam / lmax, 0.0, None))) @ vec.T
-    F_r = jnp.asarray(f_r, dtype)
+    for i in range(1, br - 1):
+        d2[i, i] = -2.0
+        d2[i, i - 1] = 1.0
+        d2[i, i + 1] = 1.0
+    fs = []
+    if "r" not in axes:
+        d2 = np.zeros((br, br))  # identity radial factor via lmax == 0
+    for v in range(p.nvars):
+        T = bspline.constraint_matrix(p.num_cells, p.BCL[v], p.BCR[v])
+        q, _ = np.linalg.qr(T)
+        b = d2 @ q
+        lam, vec = np.linalg.eigh(b.T @ b)
+        lmax = lam.max()
+        if lmax <= 0.0:
+            fs.append(q @ q.T)
+            continue
+        core = (vec * np.exp(-a * np.clip(lam / lmax, 0.0, None))) @ vec.T
+        fs.append(q @ core @ q.T)
+    F_r = jnp.asarray(np.stack(fs), dtype)
 
     f_l = f_z = None
-    if g in ("RL", "RLZ"):
+    if g in ("RL", "RLZ") and "l" in axes:
         if grid.l_fact is not None:
             # factored-DFT slot layout: |k| per slot from the -k^2 map
             k = np.sqrt(np.maximum(-np.asarray(grid.l_fact.fd.k_d2), 0.0))
@@ -125,19 +142,22 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype):
             k = np.abs(fourier.coeff_wavenumbers(grid.nl)).astype(np.float64)
         kmax = max(k.max(), 1.0)
         f_l = jnp.asarray(np.exp(-a * (k / kmax) ** order), dtype)
-    if g in ("RZ", "RLZ"):
+    if g in ("RZ", "RLZ") and "z" in axes:
         n = np.arange(p.zDim, dtype=np.float64)
         nmax = max(p.zDim - 1, 1)
         f_z = jnp.asarray(np.exp(-a * (n / nmax) ** order), dtype)
 
     def apply(spec):
-        out = jnp.einsum("ab,vb...->va...", F_r, spec)
-        if g == "RL":
+        out = jnp.einsum("vab,vb...->va...", F_r, spec)
+        if g == "RL" and f_l is not None:
             out = out * f_l[None, None, :]
-        elif g == "RZ":
+        elif g == "RZ" and f_z is not None:
             out = out * f_z[None, None, :]
         elif g == "RLZ":
-            out = out * f_l[None, None, :, None] * f_z[None, None, None, :]
+            if f_l is not None:
+                out = out * f_l[None, None, :, None]
+            if f_z is not None:
+                out = out * f_z[None, None, None, :]
         return out
 
     return apply
@@ -342,7 +362,8 @@ def build_step(
     mf_tau = float(opts.get("modal_filter_tau", 0.0) or 0.0)
     if mf_tau > 0.0:
         modal_filter = build_modal_filter(
-            grid, mf_tau, int(opts.get("modal_filter_order", 4)), ts, dtype
+            grid, mf_tau, int(opts.get("modal_filter_order", 4)), ts, dtype,
+            axes=str(opts.get("modal_filter_axes", "rlz")),
         )
 
     # Optional bulk air-sea fluxes (build_surface_fluxes): off by default.

@@ -88,6 +88,59 @@ def test_modal_filter_fourier_chebyshev_factors():
     assert abs(ratio / r0 - np.exp(-ts / tau)) < 1e-12
 
 
+def test_modal_filter_preserves_boundary_conditions():
+    """On a BOUNDED radial basis the filter must not move the state off
+    its BC-constraint subspace: the first implementation filtered raw
+    coefficients, and the per-step BC violation at the RLZ axis grew
+    into a measured runaway (TC-intensification experiment,
+    tools/probe_tc_blowup.py).  Pin both the subspace invariance and the
+    physical boundary values after many applications."""
+    gp = GridParameters(
+        geometry="R",
+        xmin=0.0,
+        xmax=100.0,
+        num_cells=20,
+        BCL={"u": BC.R1T0, "h": BC.R1T1},
+        BCR={"u": BC.R1T1, "h": BC.R0},
+        vars={"u": 1, "h": 2},
+    )
+    grid = create_grid(gp, jnp.float64)
+    filt = build_modal_filter(grid, tau=30.0, order=4, ts=1.0,
+                              dtype=jnp.float64)
+    pts = grid.gridpoints()[:, 0]
+    # fields satisfying the BCs: u(0)=0, u'(100)=0; h'(0)=0
+    u0 = np.sin(np.pi * pts / 200.0) + 0.1 * np.sin(7 * np.pi * pts / 200.0)
+    h0 = np.cos(np.pi * pts / 100.0) + 0.05 * np.cos(4 * np.pi * pts / 100.0)
+    spec = grid.analysis(jnp.asarray(np.stack([u0, h0])))
+    spec_f = spec
+    for _ in range(50):
+        spec_f = filt(spec_f)
+    # subspace invariance: filtered spec equals its own projection onto
+    # each variable's range(T)
+    from scythe_tpu.basis import bspline
+
+    sf = np.asarray(spec_f)
+    for v in range(2):
+        T = bspline.constraint_matrix(gp.num_cells, gp.BCL[v], gp.BCR[v])
+        q, _ = np.linalg.qr(T)
+        proj = q @ (q.T @ sf[v])
+        assert np.allclose(proj, sf[v], atol=1e-12), v
+    # physical boundary values: u(0) = 0 and h'(0) = 0 survive filtering
+    out = grid.synthesis(spec_f)
+    u_end = np.asarray(out["val"][0])
+    dh = np.asarray(out["dr"][1])
+    # evaluate AT the boundary via the raw basis (mish points are interior)
+    phi0 = bspline.collocation_matrix(gp.xmin, gp.xmax, gp.num_cells,
+                                      np.array([0.0]), 0)
+    phi1 = bspline.collocation_matrix(gp.xmin, gp.xmax, gp.num_cells,
+                                      np.array([0.0]), 1)
+    assert abs((phi0 @ sf[0])[0]) < 1e-12  # u(0) = 0
+    assert abs((phi1 @ sf[1])[0]) < 1e-12  # h'(0) = 0
+    # and the filter still contracts
+    assert np.linalg.norm(sf) <= np.linalg.norm(np.asarray(spec)) + 1e-12
+    del u_end, dh
+
+
 def test_saturation_formula_guard():
     """Runaway temperatures must produce finite (garbage-but-bounded)
     saturation values instead of Inf/NaN: the Buck fit's pole at

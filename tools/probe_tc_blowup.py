@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--minutes", type=float, default=15.0)
     ap.add_argument("--stable", action="store_true")
     ap.add_argument("--no-fluxes", action="store_true")
+    ap.add_argument("--opt", action="append", default=[],
+                    help="extra options as key=value (value eval'd)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -48,6 +50,13 @@ def main():
     out = "./tc_probe_out"
     model = build_model(out, t_end=args.hours * 3600.0,
                         fluxes=not args.no_fluxes, stable=args.stable)
+    if args.opt:
+        import ast
+        import dataclasses
+        extra = {k: ast.literal_eval(v)
+                 for k, v in (o.split("=", 1) for o in args.opt)}
+        model = dataclasses.replace(model,
+                                    options={**model.opts(), **extra})
     dtype = default_dtype()
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
