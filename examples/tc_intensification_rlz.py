@@ -222,7 +222,8 @@ def main():
     ap.add_argument("--cells", type=int, default=50)
     ap.add_argument("--no-fluxes", action="store_true")
     ap.add_argument("--stable", action="store_true",
-                    help="diagnostic condensation + tau=30 modal filter")
+                    help="diagnostic condensation (measured 72 h stable; "
+                    "see build_model comment for the filter caveats)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"

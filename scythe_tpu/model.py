@@ -103,35 +103,67 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype,
     under a balanced vortex) the z factor alone destabilized an
     otherwise-quiet run (tools/probe_tc_blowup.py); "rl" filters the
     horizontal directions only, which is where grid-point-storm
-    variance lives.
+    variance lives.  When "r" is excluded the radial factor is skipped
+    entirely (the state already lives in range(T), so the QQᵀ projector
+    would be a wasted dense matmul).
+
+    The F_v matmuls run through ``Grid._mm`` so the compensated-bf16 TPU
+    mode covers them like every other operator (CLAUDE.md convention —
+    a raw-einsum bf16 application of this near-identity operator every
+    step would slowly erode the '<0.3% on resolved scales' contract).
     """
     from .basis import bspline, fourier
+    from .grids.base import _split3
 
     p = grid.params
     g = grid._struct
     a = ts / tau
+    prep = _split3 if grid.comp else (lambda o: jnp.asarray(np.asarray(o), dtype))
 
     br = p.b_rDim
-    d2 = np.zeros((br, br))
-    for i in range(1, br - 1):
-        d2[i, i] = -2.0
-        d2[i, i - 1] = 1.0
-        d2[i, i + 1] = 1.0
-    fs = []
-    if "r" not in axes:
-        d2 = np.zeros((br, br))  # identity radial factor via lmax == 0
-    for v in range(p.nvars):
-        T = bspline.constraint_matrix(p.num_cells, p.BCL[v], p.BCR[v])
-        q, _ = np.linalg.qr(T)
-        b = d2 @ q
-        lam, vec = np.linalg.eigh(b.T @ b)
-        lmax = lam.max()
-        if lmax <= 0.0:
-            fs.append(q @ q.T)
-            continue
-        core = (vec * np.exp(-a * np.clip(lam / lmax, 0.0, None))) @ vec.T
-        fs.append(q @ core @ q.T)
-    F_r = jnp.asarray(np.stack(fs), dtype)
+    F_r = None
+    if "r" in axes:
+        fs = []
+        for v in range(p.nvars):
+            T = bspline.constraint_matrix(p.num_cells, p.BCL[v], p.BCR[v])
+            if p.BCL[v] == bspline.BC.PERIODIC:
+                # Build in the n-dim PERIODIC coefficient space, whose
+                # Euclidean metric is translation-invariant (the raw
+                # metric on range(T) double-weights the three seam
+                # coefficients, so even a circulant energy restricted
+                # via QR breaks seam uniformity — measured).  Circulant
+                # D2 -> circulant filter F̂, lifted to raw coefficients
+                # as T F̂ pinv(T): exactly shift-equivariant, spectrum
+                # unchanged (similarity), and self-adjoint in the field
+                # L2 norm (the periodic Gram matrix is circulant and
+                # commutes with F̂).
+                n = p.num_cells
+                d2 = np.zeros((n, n))
+                for i in range(n):
+                    d2[i, i] = -2.0
+                    d2[i, (i - 1) % n] = 1.0
+                    d2[i, (i + 1) % n] = 1.0
+                lam, vec = np.linalg.eigh(d2.T @ d2)
+                core = (
+                    vec * np.exp(-a * np.clip(lam / lam.max(), 0.0, None))
+                ) @ vec.T
+                fs.append(T @ core @ np.linalg.pinv(T))
+                continue
+            q, _ = np.linalg.qr(T)
+            d2 = np.zeros((br, br))
+            for i in range(1, br - 1):
+                d2[i, i] = -2.0
+                d2[i, i - 1] = 1.0
+                d2[i, i + 1] = 1.0
+            b = d2 @ q
+            lam, vec = np.linalg.eigh(b.T @ b)
+            lmax = lam.max()
+            if lmax <= 0.0:
+                fs.append(q @ q.T)
+                continue
+            core = (vec * np.exp(-a * np.clip(lam / lmax, 0.0, None))) @ vec.T
+            fs.append(q @ core @ q.T)
+        F_r = prep(np.stack(fs))
 
     f_l = f_z = None
     if g in ("RL", "RLZ") and "l" in axes:
@@ -148,7 +180,9 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype,
         f_z = jnp.asarray(np.exp(-a * (n / nmax) ** order), dtype)
 
     def apply(spec):
-        out = jnp.einsum("vab,vb...->va...", F_r, spec)
+        out = spec
+        if F_r is not None:
+            out = grid._mm("vab,vb...->va...", F_r, out)
         if g == "RL" and f_l is not None:
             out = out * f_l[None, None, :]
         elif g == "RZ" and f_z is not None:
@@ -247,12 +281,16 @@ def build_step(
     dtype,
     analysis_fn=None,
     synthesis_fn=None,
+    modal_filter_fn=None,
 ):
     """Returns step(state) -> state, jittable and shard_map-able.
 
     ``analysis_fn``/``synthesis_fn`` default to the grid's transforms; the
     sharded builder (parallel.sharding) overrides them with shard-local
-    synthesis and a project+psum+solve analysis.
+    synthesis and a project+psum+solve analysis.  ``modal_filter_fn``
+    overrides the per-step modal filter built from options — the sharded
+    builder passes a spectral-layout-aware application (the halo path's
+    state is windowed blocks, not the canonical coefficient array).
     """
     analysis_fn = analysis_fn or grid.analysis
     synthesis_fn = synthesis_fn or grid.synthesis
@@ -358,9 +396,9 @@ def build_step(
     # in coefficient space, build_modal_filter).  Off by default — the
     # convection-permitting stabilizer for configurations whose mature
     # cells outrun the l_q/dealias/∇²K trio (docs/RESULTS.md).
-    modal_filter = None
+    modal_filter = modal_filter_fn
     mf_tau = float(opts.get("modal_filter_tau", 0.0) or 0.0)
-    if mf_tau > 0.0:
+    if modal_filter is None and mf_tau > 0.0:
         modal_filter = build_modal_filter(
             grid, mf_tau, int(opts.get("modal_filter_order", 4)), ts, dtype,
             axes=str(opts.get("modal_filter_axes", "rlz")),

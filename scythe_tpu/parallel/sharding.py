@@ -350,23 +350,58 @@ def build_sharded_step(
     """
     n = mesh.shape[AXIS]
     _check_divisible(grid, n)
-    if float(model.opts().get("modal_filter_tau", 0.0) or 0.0) > 0.0:
-        raise NotImplementedError(
-            "options['modal_filter_tau'] is not yet supported by the "
-            "sharded driver: the radial filter factor is a global "
-            "coefficient-space operator (model.build_modal_filter); run "
-            "single-device or drop the filter"
-        )
     rows = grid.params.rDim // n
     hops = HaloOps(grid, n, interface) if method == "halo" else None
 
+    # Per-step modal filter under sharding (model.build_modal_filter): the
+    # base filter acts on the CANONICAL spectral layout.  psum path: the
+    # spectral state is replicated and already canonical — apply directly
+    # (purely local; stays replicated).  halo path: the state is per-shard
+    # coefficient windows, and the radial factor F_v is a global [b_r, b_r]
+    # operator — gather the (tiny) windowed state once at filter time,
+    # apply canonically, and re-slice this shard's window.  The b_r axis is
+    # the SMALL axis of the state (SURVEY.md 2.8: per-step global ops on it
+    # are cheap by design), so filter-on halo runs trade one small
+    # all_gather per step for the stabilizer.
+    base_filter = None
+    opts = model.opts()
+    mf_tau = float(opts.get("modal_filter_tau", 0.0) or 0.0)
+    if mf_tau > 0.0:
+        from ..model import build_modal_filter
+
+        base_filter = build_modal_filter(
+            grid,
+            mf_tau,
+            int(opts.get("modal_filter_order", 4)),
+            model.ts,
+            dtype,
+            axes=str(opts.get("modal_filter_axes", "rlz")),
+        )
+    cl = grid.params.num_cells // n
+    W = cl + schur_mod.HALO
+
     def body(spec, e1, e2, i1, i2, t):
         idx = jax.lax.axis_index(AXIS)
+        modal_filter_fn = base_filter
         if method == "halo":
             lg = _window_grid(grid, idx, n)
 
             def analysis_fn(phys):
                 return _halo_analysis(grid, lg, hops, idx, phys)
+
+            if base_filter is not None:
+
+                def modal_filter_fn(win):
+                    g_all = jax.lax.all_gather(win, AXIS, axis=0)
+                    blocks = jnp.moveaxis(g_all, 0, 1).reshape(
+                        (win.shape[0], n * W) + win.shape[2:]
+                    )
+                    out = spec_to_blocks(
+                        base_filter(blocks_to_spec(blocks, n, cl)), n, cl
+                    )
+                    return jax.lax.dynamic_slice_in_dim(
+                        out, idx * W, W, axis=1
+                    )
 
         else:
             lg = _local_grid(grid, idx, rows)
@@ -388,6 +423,7 @@ def build_sharded_step(
             dtype,
             analysis_fn=analysis_fn,
             synthesis_fn=lg.synthesis,
+            modal_filter_fn=modal_filter_fn,
         )
         st = ti.ModelState(spec, e1, e2, i1, i2, t)
         out = step(st)

@@ -260,19 +260,76 @@ def test_sharded_matches_single_fastderiv(tmp_path, method):
     assert np.abs(spec - np.asarray(ref.spec)).max() < 1e-3 * scale
 
 
-def test_modal_filter_not_supported_sharded(tmp_path):
-    """options['modal_filter_tau'] applies a GLOBAL coefficient-space
-    operator the sharded drivers do not yet distribute — the guard must
-    refuse loudly rather than silently skip the filter."""
+@pytest.mark.parametrize("method", ["psum", "halo", "halo-pcr"])
+@pytest.mark.parametrize("setup", [_advection_setup, _slab_setup, _moist_rz_setup])
+def test_modal_filter_sharded_matches_single(tmp_path, setup, method):
+    """The per-step modal filter (the convection-permitting stabilizer)
+    must compose with every sharded analysis path: psum applies the
+    canonical filter to the replicated spectral state; halo gathers the
+    small windowed state once at filter time (parallel/sharding.py).
+    The advection setup exercises the PERIODIC circulant radial factor."""
     import dataclasses
 
-    model = _advection_setup(tmp_path)
+    model = setup(tmp_path)
     model = dataclasses.replace(
         model, options={**model.opts(), "modal_filter_tau": 30.0}
     )
+    n_steps = 5
+    method, interface = (
+        ("halo", "pcr") if method == "halo-pcr" else (method, "gather")
+    )
+
+    grid, ctx, state = initialize(model)
+    step = build_step(model, grid, ctx, jnp.float64)
+    ref = make_scan(step, n_steps)(state)
+
     mesh = sh.make_mesh(8)
-    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh)
-    with pytest.raises(NotImplementedError):
-        sh.build_sharded_step(
-            model, grid2, ctx2, jnp.float64, mesh, "psum", "gather"
+    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh, method=method)
+    sstep = sh.build_sharded_step(
+        model, grid2, ctx2, jnp.float64, mesh, method, interface
+    )
+    out = make_scan(sstep, n_steps)(state2)
+
+    spec = np.asarray(out.spec)
+    if method == "halo":
+        spec = np.asarray(
+            sh.blocks_to_spec(out.spec, 8, grid.params.num_cells // 8)
         )
+    np.testing.assert_allclose(
+        spec, np.asarray(ref.spec), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_modal_filter_periodic_seam_uniform():
+    """The periodic radial filter factor must be translation-invariant
+    across the cell seam (circulant within range(T)): damping a
+    one-cell-shifted field equals shifting the damped field.  Pins the
+    circulant D2 form (a raw interior stencil double-counts the
+    seam-centered difference and breaks this)."""
+    from scythe_tpu.model import build_modal_filter
+
+    gp = GridParameters(
+        geometry="R",
+        xmin=0.0,
+        xmax=96.0,
+        num_cells=32,
+        BCL={"u": BC.PERIODIC},
+        BCR={"u": BC.PERIODIC},
+        vars={"u": 1},
+    )
+    grid = create_grid(gp, jnp.float64)
+    filt = build_modal_filter(grid, tau=10.0, order=4, ts=1.0, dtype=jnp.float64)
+    r = grid.r_mish
+    dx = 96.0 / 32
+    f = np.exp(-(((r - 20.0) % 96.0 - 48.0) / 6.0) ** 2) + 0.3 * np.sin(
+        2 * np.pi * 5 * r / 96.0
+    )
+    f_shift = np.exp(
+        -(((r - 20.0 - dx) % 96.0 - 48.0) / 6.0) ** 2
+    ) + 0.3 * np.sin(2 * np.pi * 5 * (r - dx) / 96.0)
+    spec = grid.analysis(jnp.asarray(f[None], jnp.float64))
+    spec_s = grid.analysis(jnp.asarray(f_shift[None], jnp.float64))
+    out = np.asarray(grid.synthesis(filt(spec))["val"])[0]
+    out_s = np.asarray(grid.synthesis(filt(spec_s))["val"])[0]
+    # shifting by one cell = rolling the mish points by mubar (3)
+    np.testing.assert_allclose(np.roll(out, 3), out_s, rtol=1e-10, atol=1e-12)
