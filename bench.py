@@ -182,17 +182,25 @@ def rlz_transform_bench(device, dtype, reps=3, ns=(64, 256)):
             return lambda: float(compiled(spec)[0, 0, 0, 0])
 
         try:
-            # flop count from the single-roundtrip compile: XLA cost
-            # analysis does not scale a scan body by its trip count
+            # flop + HBM-byte counts from the single-roundtrip compile: XLA
+            # cost analysis does not scale a scan body by its trip count
             single = jax.jit(roundtrip).lower(spec).compile()
-            flops = float((single.cost_analysis() or {}).get("flops", 0.0))
+            ca = single.cost_analysis() or {}
+            flops = float(ca.get("flops", 0.0))
+            hbm_bytes = float(ca.get("bytes accessed", 0.0))
         except Exception:
-            flops = 0.0
+            flops = hbm_bytes = 0.0
         dt, fixed = slope_time(make_call, *ns, reps=reps)
         setup_s = time.time() - t0  # compiles + warmups + timed reps
         gps = grid.num_points * gp.nvars / dt
-        peak = _PEAK_FLOPS.get(getattr(device, "device_kind", ""), None)
+        kind = getattr(device, "device_kind", "")
+        peak = _PEAK_FLOPS.get(kind, None)
         mfu = (flops / dt / peak) if (peak and flops) else None
+        # machine-checked bandwidth roofline: achieved HBM traffic rate as
+        # a fraction of the chip's peak (the binding roofline for this
+        # bandwidth-bound workload — BASELINE.md gate)
+        peak_bw = _PEAK_HBM.get(kind, None)
+        hbm_frac = (hbm_bytes / dt / peak_bw) if (peak_bw and hbm_bytes) else None
         return dict(
             points=grid.num_points,
             nvars=gp.nvars,
@@ -201,6 +209,9 @@ def rlz_transform_bench(device, dtype, reps=3, ns=(64, 256)):
             flops_per_roundtrip=flops,
             tflops_per_s=flops / dt / 1e12 if flops else None,
             mfu_est=mfu,
+            hbm_bytes_per_roundtrip=hbm_bytes,
+            hbm_gb_per_s=hbm_bytes / dt / 1e9 if hbm_bytes else None,
+            hbm_fraction=hbm_frac,
             dispatch_fixed_ms=round(fixed * 1e3, 2),
             setup_s=round(setup_s, 2),
         )
@@ -551,6 +562,9 @@ def main():
         ),
         "rlz_transform_mfu_est": (
             round(rlz["mfu_est"], 4) if rlz["mfu_est"] else None
+        ),
+        "rlz_hbm_fraction": (
+            round(rlz["hbm_fraction"], 4) if rlz.get("hbm_fraction") else None
         ),
     }
     if moist:

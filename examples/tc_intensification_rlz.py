@@ -43,18 +43,28 @@ RMAX_DOM = 500.0e3
 ZTOP = 20.0e3
 
 
-def jordan_sounding(path):
+def jordan_sounding(path, rh=0.7, qv0=16.0):
     """Jordan-like mean tropical sounding: moist BL, conditionally
     unstable troposphere, isothermal ~203 K stratosphere above 15 km.
 
-    The humidity profile is CAPPED at 70% of saturation (vs an
+    The humidity profile is CAPPED at ``rh`` of saturation (vs an
     approximate hydrostatic T/p column): the original flat stratospheric
     qv exceeded q_sat at the 192-205 K upper levels (RH to 2.8), and a
     supersaturated reference column makes condensation fire at t = 0
     over whole layers — the measured blow-up mechanism of this
     experiment's first version (same trap the convective-shower sounding
     documents; the global spectral transform then spreads the top-layer
-    runaway everywhere)."""
+    runaway everywhere).
+
+    ``rh``/``qv0`` control how close the column sits to saturation.  The
+    original 0.7/16 pair gives BL RH ~0.66 — much drier than Jordan's
+    observed mean (BL RH ~0.85) — and the round-3 sweep measured that
+    under the DIAGNOSTIC condensation scheme (which, unlike prognostic
+    qss, only fires at true grid-scale saturation) 72 h of WISHE fluxes
+    never saturate a single column from that base: identical
+    trajectories at every cap, w_max < 0.4 m/s.  rh=0.85/qv0=20 is the
+    observationally honest moistening that gives the diagnostic scheme
+    the same ignition chance the qss noise gives the prognostic one."""
     zs = np.linspace(0.0, 24000.0, 97)
     ztr, thtr, ttr = 15000.0, 365.0, 203.0
     theta = np.where(
@@ -69,7 +79,7 @@ def jordan_sounding(path):
     # temperatures q_sat (~0.015 g/kg) is smaller than the ringing of a
     # kinked profile.
     x = (zs - 1000.0) / 2700.0
-    qv = 16.0 * np.exp(-(np.logaddexp(0.0, x) - np.logaddexp(0.0, x[0])))
+    qv = qv0 * np.exp(-(np.logaddexp(0.0, x) - np.logaddexp(0.0, x[0])))
     # floor at a realistic stratospheric 0.003 g/kg (~5 ppmv): EXACTLY
     # zero vapor (the super-Gaussian underflows above ~16 km) still
     # NaNs the moist state functions within steps, floor >> ringing
@@ -89,7 +99,7 @@ def jordan_sounding(path):
     tc = T - 273.15
     es = 6.1121 * np.exp((18.678 - tc / 234.5) * tc / (257.14 + tc))  # hPa
     qsat = 622.0 * es / (p / 100.0 - es)  # g/kg
-    qv = np.minimum(qv, 0.7 * qsat)
+    qv = np.minimum(qv, rh * qsat)
     with open(path, "w") as f:
         f.write(f"1015.0 {theta[0]} {qv[0]}\n")
         for z, th, q in zip(zs[1:], theta[1:], qv[1:]):
@@ -105,7 +115,8 @@ def initial_vortex(r, z, vmax=12.0, rm=82.5e3):
 
 
 def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
-                fluxes=True, stable=False):
+                fluxes=True, stable=False, cap=None, filter_tau=0.0,
+                filter_axes="l", rh=0.7, qv0=16.0):
     from scythe_tpu import BC, ZBC, GridParameters, ModelParameters
 
     os.makedirs(out_dir, exist_ok=True)
@@ -135,14 +146,21 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
     }
     if stable:
         # Diagnostic condensation ONLY — measured 72 h stable here.  The
-        # XYZ-shower stable PAIR does not transfer: at 10 km radial
-        # cells the balanced vortex core spans a few cells, and the
-        # radial ∇⁴ modal filter damps the warm-core pressure field on a
-        # ~40 min timescale; the resulting gradient-wind imbalance
-        # drives spurious inflow and a moist runaway at r ~ 25 km
-        # (measured, tools/probe_tc_blowup.py; docs/RESULTS.md).  Use
-        # modal_filter_axes='l' if azimuthal filtering is wanted.
+        # XYZ-shower stable PAIR does not transfer AT 10 KM CELLS: the
+        # balanced vortex core spans a few cells, and the radial ∇⁴
+        # modal filter damps the warm-core pressure field on a ~40 min
+        # timescale; the resulting gradient-wind imbalance drives
+        # spurious inflow and a moist runaway at r ~ 25 km (measured,
+        # tools/probe_tc_blowup.py; docs/RESULTS.md).  At 5 km cells the
+        # core spans 2x the points and the ∇⁴ factor on core scales is
+        # ~16x weaker — the filter becomes admissible again (the round-3
+        # sweep measures this; tools/tc_sweep.py).
         options["condensation"] = "diagnostic"
+        if cap is not None:
+            options["condensation_rate_cap"] = float(cap)
+    if filter_tau > 0.0:
+        options["modal_filter_tau"] = float(filter_tau)
+        options["modal_filter_axes"] = filter_axes
     if fluxes:
         options["surface_fluxes"] = {
             "sst": SST, "Ck": 1.2e-3, "Cd": 1.5e-3, "depth": 600.0,
@@ -155,17 +173,23 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
         equation_set="MoistEulerRLZ",
         initial_conditions=os.path.join(out_dir, "ics.csv"),
         output_dir=out_dir,
-        ref_state_file=jordan_sounding(os.path.join(out_dir, "snd.txt")),
+        ref_state_file=jordan_sounding(os.path.join(out_dir, "snd.txt"),
+                                       rh=rh, qv0=qv0),
         grid_params=gp,
         physical_params={"K": 50.0, "f": F_COR},
         options=options,
     )
 
 
-def write_ics(model, grid, ref_state):
+def write_ics(model, grid, ref_state, bubble=0.0):
     """Vortex in approximate gradient balance: xi' = p'/P_xi with
     dp'/dr = rho_bar (f v + v^2/r) integrated inward from the outer
-    boundary (linearized about the reference column)."""
+    boundary (linearized about the reference column).
+
+    ``bubble`` (K of theta-equivalent, standard convective-initiation
+    practice) adds a warm entropy anomaly centered inside the RMW at
+    z = 1.5 km to trigger the first cell — the axisymmetric analog of
+    the random BL noise real-case models use."""
     from scythe_tpu.physics import thermodynamics as td
 
     pts = grid.gridpoints()
@@ -191,14 +215,23 @@ def write_ics(model, grid, ref_state):
     dp[:-1, :] = -np.cumsum(seg[::-1, :], axis=0)[::-1, :]
     xi_p = dp / pxi[None, :]
 
+    # optional warm-bubble trigger: ds ~ c_pd * dtheta / theta_bar
+    s_pert = np.zeros(shape)
+    if bubble > 0.0:
+        rad = np.sqrt(((r - 60.0e3) / 30.0e3) ** 2
+                      + ((z - 1500.0) / 1500.0) ** 2)
+        s_pert = (1004.0 * bubble / 300.0) * np.maximum(
+            0.0, np.cos(0.5 * np.pi * np.minimum(rad, 1.0))) ** 2
+
     names = list(model.grid_params.vars)
     with open(model.initial_conditions, "w") as f:
         f.write("r,l,z," + ",".join(names) + "\n")
         lam = pts[:, 1]
         v_flat = v0.ravel()
+        s_flat = s_pert.ravel()
         xi_flat = np.broadcast_to(xi_p[:, None, :], shape).ravel()
         for i in range(pts.shape[0]):
-            vals = {"v": v_flat[i], "xi": xi_flat[i]}
+            vals = {"v": v_flat[i], "xi": xi_flat[i], "s": s_flat[i]}
             f.write(
                 f"{pts[i,0]},{lam[i]},{pts[i,2]},"
                 + ",".join(str(vals.get(n, 0.0)) for n in names) + "\n"
@@ -224,6 +257,21 @@ def main():
     ap.add_argument("--stable", action="store_true",
                     help="diagnostic condensation (measured 72 h stable; "
                     "see build_model comment for the filter caveats)")
+    ap.add_argument("--cap", type=float, default=None,
+                    help="condensation rate cap kg/kg/s (with --stable; "
+                    "default 2e-4)")
+    ap.add_argument("--filter-tau", type=float, default=0.0,
+                    help="modal filter e-folding time (0 = off)")
+    ap.add_argument("--filter-axes", default="l",
+                    help="modal filter axes subset of 'rlz' (default 'l')")
+    ap.add_argument("--ts", type=float, default=2.0)
+    ap.add_argument("--out", default="./tc_intensification_out")
+    ap.add_argument("--rh", type=float, default=0.7,
+                    help="sounding RH cap (0.85 = Jordan-like moist BL)")
+    ap.add_argument("--qv0", type=float, default=16.0,
+                    help="surface vapor mixing ratio g/kg before RH cap")
+    ap.add_argument("--bubble", type=float, default=0.0,
+                    help="warm-bubble trigger amplitude (K theta-equiv)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -243,14 +291,17 @@ def main():
     from scythe_tpu.model import (_pick_chunk, build_context, build_step,
                                   default_dtype, make_scan)
 
-    out = "./tc_intensification_out"
-    model = build_model(out, num_cells=args.cells,
+    out = args.out
+    model = build_model(out, num_cells=args.cells, ts=args.ts,
                        t_end=args.hours * 3600.0,
-                       fluxes=not args.no_fluxes, stable=args.stable)
+                       fluxes=not args.no_fluxes, stable=args.stable,
+                       cap=args.cap, filter_tau=args.filter_tau,
+                       filter_axes=args.filter_axes, rh=args.rh,
+                       qv0=args.qv0)
     dtype = default_dtype()
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
-    write_ics(model, grid, ctx.ref_state)
+    write_ics(model, grid, ctx.ref_state, bubble=args.bubble)
     phys0 = read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     # sponge reference = filtered initial state (far field)

@@ -44,6 +44,48 @@ def _normalize_vars(vars_map) -> tuple[str, ...]:
     return tuple(name for name, _ in items)
 
 
+def _moist_production(geometry: str) -> dict:
+    """The vetted long-run moist option bundle (docs/RESULTS.md "the
+    stable pair" + the stiff-column fixes), so production experiments do
+    not have to re-assemble it by hand.  Defaults deliberately reproduce
+    reference quirks (PARITY.md); this profile is the measured-stable
+    alternative:
+
+    - ``sedimentation='active'``: rain actually falls/exits (the
+      reference's always-zero quirk pumps the stratosphere);
+    - ``stiff_relaxation='exp'``: exact exponential integration of the
+      qss relaxation (invtau ~ 1/p crosses the AB3 limit in deep cold
+      columns);
+    - ``si_mode='variable'``: variable-coefficient implicit vertical
+      operator (exactly reduces to the reference matrix for constant
+      profiles);
+    - ``condensation='diagnostic'``: rate-capped saturation adjustment
+      (an uncapped adjustment detonates in one output interval on a
+      spectral basis — measured, tools/shower_envelope.py);
+    - modal filter tau=30 s with geometry-dependent axes: the full-axes
+      filter is the measured XYZ stable-pair partner, but a RADIAL
+      factor on a balanced cylindrical/spherical vortex damps the
+      warm-core pressure field and drives spurious inflow at coarse
+      cells (tools/probe_tc_blowup.py) — RLZ/SLZ filter the azimuthal
+      axis only.
+
+    Any explicitly passed option overrides its profile value.
+    """
+    prof = {
+        "semiimplicit": True,
+        "sedimentation": "active",
+        "stiff_relaxation": "exp",
+        "si_mode": "variable",
+        "condensation": "diagnostic",
+        "modal_filter_tau": 30.0,
+        "modal_filter_axes": "l" if geometry in ("RLZ", "SLZ") else "rlz",
+    }
+    return prof
+
+
+_PROFILES = {"moist_production": _moist_production}
+
+
 @dataclass(frozen=True)
 class GridParameters:
     """Static grid configuration (ref src/spectralGrid.jl:20-45).
@@ -140,7 +182,16 @@ class ModelParameters:
 
     def opts(self) -> dict:
         base = {"semiimplicit": False, "exact_reference_state": False}
-        base.update(dict(self.options))
+        user = dict(self.options)
+        profile = user.pop("profile", None)
+        if profile is not None:
+            if profile not in _PROFILES:
+                raise ValueError(
+                    f"unknown options profile {profile!r}; known: "
+                    f"{sorted(_PROFILES)}"
+                )
+            base.update(_PROFILES[profile](self.grid_params.geometry))
+        base.update(user)  # explicit user options win over the profile
         return base
 
     @property
