@@ -116,7 +116,7 @@ def initial_vortex(r, z, vmax=12.0, rm=82.5e3):
 
 def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
                 fluxes=True, stable=False, cap=None, filter_tau=0.0,
-                filter_axes="l", rh=0.7, qv0=16.0):
+                filter_axes="l", rh=0.7, qv0=16.0, smag=0.0):
     from scythe_tpu import BC, ZBC, GridParameters, ModelParameters
 
     os.makedirs(out_dir, exist_ok=True)
@@ -161,6 +161,11 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
     if filter_tau > 0.0:
         options["modal_filter_tau"] = float(filter_tau)
         options["modal_filter_axes"] = filter_axes
+    if smag > 0.0:
+        # RE87's own subgrid closure class: strain-activated nonlinear
+        # eddy viscosity — the vortex-safe (r,z)-plane stabilizer the
+        # modal filter cannot be on a balanced vortex
+        options["smagorinsky"] = float(smag)
     if fluxes:
         options["surface_fluxes"] = {
             "sst": SST, "Ck": 1.2e-3, "Cd": 1.5e-3, "depth": 600.0,
@@ -272,6 +277,8 @@ def main():
                     help="surface vapor mixing ratio g/kg before RH cap")
     ap.add_argument("--bubble", type=float, default=0.0,
                     help="warm-bubble trigger amplitude (K theta-equiv)")
+    ap.add_argument("--smag", type=float, default=0.0,
+                    help="Smagorinsky Cs (0.18-0.25 classic; 0 = off)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -297,7 +304,7 @@ def main():
                        fluxes=not args.no_fluxes, stable=args.stable,
                        cap=args.cap, filter_tau=args.filter_tau,
                        filter_axes=args.filter_axes, rh=args.rh,
-                       qv0=args.qv0)
+                       qv0=args.qv0, smag=args.smag)
     dtype = default_dtype()
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)

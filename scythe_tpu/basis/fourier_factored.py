@@ -166,9 +166,13 @@ def synthesis_np(fd: FactoredDFT, c: np.ndarray, deriv: int = 0) -> np.ndarray:
 
 
 class FactOps:
-    """Device-prepped factored operators for one grid."""
+    """Device-prepped factored operators for one grid.
 
-    def __init__(self, fd: FactoredDFT, prep, dtype, jnp):
+    ``deriv_scale`` converts the integer-wavenumber derivatives d/dl to a
+    physical coordinate: 2 pi / Ly on the uniform XYZ y axis (matching the
+    dense path's ``_dense_lon_ops(deriv_scale=...)``); 1 on angular axes."""
+
+    def __init__(self, fd: FactoredDFT, prep, dtype, jnp, deriv_scale=1.0):
         self.fd = fd
         self.W2a = prep(fd.W2a)
         self.W1a = prep(fd.W1a)
@@ -177,8 +181,10 @@ class FactOps:
         self.Ta = jnp.asarray(fd.Ta, dtype)
         self.Ts = jnp.asarray(fd.Ts, dtype)
         self.w_synth = jnp.asarray(fd.w_synth, dtype)
-        self.k_d = jnp.asarray(fd.w_synth * fd.k_d, dtype)
-        self.k_d2 = jnp.asarray(fd.w_synth * fd.k_d2, dtype)
+        self.k_d = jnp.asarray(fd.w_synth * fd.k_d * deriv_scale, dtype)
+        self.k_d2 = jnp.asarray(
+            fd.w_synth * fd.k_d2 * deriv_scale**2, dtype
+        )
 
 
 def analysis_mm(fo: FactOps, mm, phys, with_z: bool):

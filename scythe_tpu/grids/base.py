@@ -490,34 +490,61 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         synth_r_val=prep(synth[0]),
     )
 
+    def _pick_factored(p, nl, what):
+        """Factored-DFT mode decision for a periodic axis: explicit
+        ``l_factored`` wins; auto enables beyond nl = 2048 — the
+        transform is HBM-bound so factored flop savings measure
+        neutral-to-slower below that (docs/RESULTS.md), while above it
+        the dense [nl, nl] operator constants exceed this runtime's
+        compile-payload limit — when an even x even split of nl exists
+        (falls back to dense otherwise)."""
+        from ..basis import fourier_factored as ff
+
+        factored = getattr(p, "l_factored", None)
+        if factored is None:
+            factored = nl > 2048
+            if factored:
+                try:
+                    ff.split_radix(nl)
+                except ValueError:
+                    factored = False
+        elif factored:
+            ff.split_radix(nl)  # unfactorable nl: raise the real reason
+        return bool(factored)
+
     # --- periodic Cartesian y (XYZ box) ---------------------------------
     l_mats = None
     if p.geometry == "XYZ":
+        from ..basis import fourier_factored as ff
+
         if not p.lDim or p.lDim % 2:
             raise ValueError("XYZ grids need an explicit even lDim (y points)")
         if p.ymax <= p.ymin:
             raise ValueError("XYZ grids need ymax > ymin")
-        if getattr(p, "l_factored", None):
-            raise ValueError("l_factored is not supported for XYZ grids")
         nl = p.lDim
-        if nl > 2048:
-            raise ValueError(
-                "XYZ y resolution is limited to 2048 points (dense DFT "
-                "operators; the factored path is polar-only today)"
-            )
-        # uniform 2/3-rule dealias mask (every "ring" identical)
-        ks = fourier.coeff_wavenumbers(nl)
-        row = (ks <= max(nl // 3, 1)).astype(np.float64)
-        grid.ring_mask = jnp.asarray(np.tile(row, (p.rDim, 1)), dtype)
         sc = 2.0 * np.pi / (p.ymax - p.ymin)  # d/dlambda -> d/dy
-        l_mats = _dense_lon_ops(grid, nl, prep, deriv_scale=sc)
+        factored = _pick_factored(p, nl, "XYZ y")
+        if factored:
+            fd = ff.FactoredDFT(nl)
+            grid.l_fact = ff.FactOps(fd, prep, dtype, jnp, deriv_scale=sc)
+            grid.nl = nl
+            grid.kDim = fd.K
+            # uniform 2/3-rule mask in the factored slot layout
+            row = (fd.k_of_slot <= max(nl // 3, 1)) * fd.base_mask
+            grid.ring_mask = jnp.asarray(np.tile(row, (p.rDim, 1)), dtype)
+        else:
+            # uniform 2/3-rule dealias mask (every "ring" identical)
+            ks = fourier.coeff_wavenumbers(nl)
+            row = (ks <= max(nl // 3, 1)).astype(np.float64)
+            grid.ring_mask = jnp.asarray(np.tile(row, (p.rDim, 1)), dtype)
+            l_mats = _dense_lon_ops(grid, nl, prep, deriv_scale=sc)
 
     # --- spherical longitude (SL / SLZ shells) --------------------------
     if p.geometry in ("SL", "SLZ"):
+        from ..basis import fourier_factored as ff
+
         if not p.lDim or p.lDim % 2:
             raise ValueError("SL/SLZ grids need an explicit even lDim (lon points)")
-        if getattr(p, "l_factored", None):
-            raise ValueError("l_factored is not supported for SL/SLZ grids")
         if not (p.xmax > p.xmin and abs(p.xmin) <= np.pi / 2 + 1e-9
                 and abs(p.xmax) <= np.pi / 2 + 1e-9):
             raise ValueError(
@@ -525,18 +552,27 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
                 f"got [{p.xmin}, {p.xmax}] (degrees by mistake?)"
             )
         nl = p.lDim
-        if nl > 2048:
-            raise ValueError("SL/SLZ longitude is limited to 2048 points (dense DFT)")
         a_sph = p.sphere_radius
         dphi = (p.xmax - p.xmin) / p.num_cells
         # ring circumference radius a*cos(lat) plays the role the polar
         # grids give r: zonal modes resolved down to ~the meridional
         # resolution per ring, near-axisymmetric pole rings
         r_equiv = a_sph * np.cos(r_mish)
-        grid.ring_mask = jnp.asarray(
-            fourier.ring_coeff_mask(r_equiv, a_sph * dphi, nl, p.l_q), dtype
-        )
-        l_mats = _dense_lon_ops(grid, nl, prep)
+        factored = _pick_factored(p, nl, "SL/SLZ longitude")
+        if factored:
+            fd = ff.FactoredDFT(nl)
+            grid.l_fact = ff.FactOps(fd, prep, dtype, jnp)
+            grid.nl = nl
+            grid.kDim = fd.K
+            grid.ring_mask = jnp.asarray(
+                fd.ring_mask(r_equiv, a_sph * dphi, p.l_q), dtype
+            )
+        else:
+            grid.ring_mask = jnp.asarray(
+                fourier.ring_coeff_mask(r_equiv, a_sph * dphi, nl, p.l_q),
+                dtype,
+            )
+            l_mats = _dense_lon_ops(grid, nl, prep)
 
     # --- azimuthal ------------------------------------------------------
     if p.geometry in ("RL", "RLZ"):
@@ -545,21 +581,7 @@ def create_grid(params: GridParameters, dtype=jnp.float32, matmul="auto") -> Gri
         nl = fourier.default_nl(p.num_cells, p.lDim)
         dr = (p.xmax - p.xmin) / p.num_cells
         grid.nl = nl
-        factored = getattr(p, "l_factored", None)
-        if factored is None:
-            # auto: dense up to nl=2048 — the transform is HBM-bound, so
-            # the factored flop savings measure NEUTRAL-to-slower there
-            # (docs/RESULTS.md round-2 table); beyond that the dense
-            # [nl, nl] operator constants themselves become impractical
-            # (O(nl^2) memory; they exceed this runtime's compile-payload
-            # limit at nl=4096) and factored is the only viable mode.
-            # Requires an even x even split of nl.
-            factored = nl > 2048
-            if factored:
-                try:
-                    ff.split_radix(nl)
-                except ValueError:
-                    factored = False
+        factored = _pick_factored(p, nl, "azimuth")
         if factored:
             fd = ff.FactoredDFT(nl)
             grid.l_fact = ff.FactOps(fd, prep, dtype, jnp)

@@ -1,0 +1,165 @@
+"""One-command TPU smoke lane (`make tpu-smoke`).
+
+The CPU test suite cannot catch the TPU-only failure modes this project
+hit (docs/NUMERICS.md trap list): XLA folding the compensated-bf16
+residual to zero (CPU doesn't do the fold), f32 `_TINY` underflow in the
+moist state functions, Mosaic bf16 rounding.  This lane runs the three
+guards that catch them, on the REAL device, in a few minutes:
+
+1. folding guard — a jitted `Grid._mm` matvec must hit compensated
+   (~1e-5 rel) accuracy; single-pass bf16 (~4e-3) means the
+   optimization_barrier got folded away;
+2. numerics canary — 10 chained analysis+synthesis round trips vs CPU
+   f64 (bench.numerics_canary, the same check bench.py runs first);
+3. golden-50 on device — 50 steps of the flagship config at f32
+   compensated must track the stored f64 golden fields to f32-grade
+   tolerance (catches everything the transform-level checks miss, e.g.
+   a moist/tendency fusion regression);
+4. moist f32 guard — 80 steps of the MoistEulerRLZ core at f32 on
+   device stay finite (the `_TINY` underflow class).
+
+Tunnel-wedge tolerant: run under `timeout` from the Makefile; each phase
+prints its wall time so a wedged session is visible.  Exit code 0 = all
+PASS.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _phase(name):
+    print(f"--- {name}", flush=True)
+    return time.time()
+
+
+def _done(t0, ok=True, detail=""):
+    status = "PASS" if ok else "FAIL"
+    print(f"    {status} ({time.time() - t0:.1f}s) {detail}", flush=True)
+    if not ok:
+        sys.exit(1)
+
+
+def folding_guard(device):
+    """Compensated matvec accuracy on device: distinguishes the working
+    bf16_3x scheme (~1e-5 rel) from a folded-away residual (~4e-3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scythe_tpu import GridParameters, create_grid
+    from scythe_tpu.grids.base import _split3
+
+    t0 = _phase("folding guard (Grid._mm compensated accuracy)")
+    gp = GridParameters(geometry="R", xmin=0.0, xmax=1.0, num_cells=32,
+                        vars={"a": 1})
+    rng = np.random.default_rng(1)
+    O = rng.normal(size=(96, 96))
+    x = rng.normal(size=(96, 7)).astype(np.float32)
+    ref = O @ x.astype(np.float64)
+    with jax.default_device(device):
+        grid = create_grid(gp, jnp.float32)
+        if not grid.comp:
+            _done(t0, True, "grid not in compensated mode (CPU) — skipped")
+            return
+        op3 = _split3(O)
+        out = np.asarray(
+            jax.jit(lambda v: grid._mm("ab,bk->ak", op3, v))(jnp.asarray(x))
+        )
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    _done(t0, rel < 3e-4, f"rel err {rel:.2e} (folded bf16 would be ~4e-3)")
+
+
+def canary(device):
+    import jax.numpy as jnp
+
+    import bench
+
+    t0 = _phase("numerics canary (10x transform chain vs CPU f64)")
+    try:
+        bench.numerics_canary(device, jnp.float32)
+    except FloatingPointError as e:
+        _done(t0, False, str(e))
+    _done(t0)
+
+
+def golden50(device):
+    """The CPU-f64 golden trajectory, re-run at f32 compensated on the
+    device: fields must track to f32-chaos tolerance over 50 steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_model, _vortex_state
+    from scythe_tpu.grids.base import create_grid
+    from scythe_tpu.model import build_context, build_step, make_scan
+
+    t0 = _phase("golden-50 on device (f32 compensated vs stored f64)")
+    golden = np.load(os.path.join(os.path.dirname(__file__), "..",
+                                  "tests", "golden",
+                                  "twoway_slab_50steps_f64.npz"))["phys"]
+    with jax.default_device(device):
+        model = _flagship_model(num_cells=32, nl=32)
+        grid = create_grid(model.grid_params, jnp.float32)
+        ctx = build_context(model, grid, jnp.float32)
+        step = build_step(model, grid, ctx, jnp.float32)
+        out = make_scan(step, 50)(_vortex_state(grid, jnp.float32))
+        phys = np.asarray(grid.synthesis(out.spec)["val"], np.float64)
+    ok = np.isfinite(phys).all()
+    # per-variable relative error against the f64 golden; 50 steps of
+    # compensated f32 tracks well inside 1e-3 of field scale (measured
+    # ~1e-5; 1e-3 still separates cleanly from single-pass bf16 drift)
+    rels = [
+        np.abs(phys[v] - golden[v]).max() / (np.abs(golden[v]).max() + 1e-30)
+        for v in range(golden.shape[0])
+    ]
+    _done(t0, ok and max(rels) < 1e-3, f"max field rel err {max(rels):.2e}")
+
+
+def moist_f32(device):
+    import jax
+    import jax.numpy as jnp
+
+    t0 = _phase("moist f32 guard (80 steps MoistEulerRLZ on device)")
+    import bench
+    from scythe_tpu import timeintegration as ti
+    from scythe_tpu.grids.base import create_grid
+    from scythe_tpu.model import build_context, build_step, make_scan
+
+    with jax.default_device(device):
+        model = bench.moist3d_model(n_steps=80)
+        gp = model.grid_params
+        grid = create_grid(gp, jnp.float32)
+        ctx = build_context(model, grid, jnp.float32)
+        step = build_step(model, grid, ctx, jnp.float32)
+        phys0 = np.zeros((gp.nvars,) + grid.spatial_shape, np.float32)
+        spec0 = grid.analysis(jnp.asarray(phys0))
+        state = ti.initial_state(spec0, (gp.nvars,) + grid.spatial_shape,
+                                 jnp.float32)
+        out = make_scan(step, 80)(state)
+        fin = bool(np.isfinite(np.asarray(out.spec)).all())
+    _done(t0, fin, "state finite" if fin else "NONFINITE state")
+
+
+def main():
+    from scythe_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+    if dev.platform == "cpu":
+        print("NOTE: no accelerator visible — running the lane on CPU "
+              "(folding cannot reproduce there; still a smoke run)")
+    folding_guard(dev)
+    canary(dev)
+    golden50(dev)
+    moist_f32(dev)
+    print("tpu-smoke: ALL PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()
