@@ -209,6 +209,8 @@ def build_model(out_dir, num_cells=64, zdim=64, ts=0.1, t_end=1000.0,
     from scythe_tpu import BC, GridParameters, ModelParameters
 
     os.makedirs(out_dir, exist_ok=True)
+    from scythe_tpu import ZBC
+
     gp = GridParameters(
         geometry="RZ",
         xmin=-LX / 2,
@@ -219,6 +221,14 @@ def build_model(out_dir, num_cells=64, zdim=64, ts=0.1, t_end=1000.0,
         zDim=zdim,
         BCL={n: BC.PERIODIC for n in VARS},
         BCR={n: BC.PERIODIC for n in VARS},
+        # wall-flux rule (docs/NUMERICS.md): every K-diffused variable
+        # gets R1T1 at the rigid lids (measured here: with the default
+        # unconstrained fit the walls pump exponentially — theta_rho'
+        # doubling every ~50 s at the lid directly above the bubble)
+        BCB={"s": ZBC.R1T1, "u": ZBC.R1T1, "mu": ZBC.R1T1,
+             "mu_l": ZBC.R1T1, "w": ZBC.R1T0},
+        BCT={"s": ZBC.R1T1, "u": ZBC.R1T1, "mu": ZBC.R1T1,
+             "mu_l": ZBC.R1T1, "w": ZBC.R1T0},
         vars=VARS,
     )
     return ModelParameters(

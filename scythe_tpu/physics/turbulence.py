@@ -57,7 +57,7 @@ def length_scales(grid):
 
 
 def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
-                          pr=1.0 / 3.0):
+                          pr=1.0 / 3.0, cap_frac=0.02):
     """Capped Smagorinsky viscosity field.
 
     ``du``/``dv``/``dw``: tuples of the PHYSICAL derivatives of each
@@ -116,6 +116,12 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
         prod = prod * dz_b
         inv2 = inv2 + 1.0 / dz_b**2
     delta = prod ** (1.0 / ndirs)
-    cap = 0.2 / (ts * inv2)
+    # diffusive stability of the SPECTRAL scheme: the resolvable
+    # wavenumber is k_max ~ pi/Delta, so the explicit limit is
+    # K ts (pi/Delta)^2 < ~0.5, i.e. K ts / Delta^2 < ~0.05 — the
+    # round-2 cap of 0.2/(ts inv2) sat ~4x above it and measured as a
+    # near-wall explicit blow-up within 50 steps once the TC runs
+    # actually reached the cap (round-3 sweep forensics)
+    cap = cap_frac / (ts * inv2)
     k_t = (cs * jnp.asarray(delta, dtype)) ** 2 * smag
     return jnp.minimum(k_t, jnp.asarray(cap, dtype))

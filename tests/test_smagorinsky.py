@@ -86,7 +86,10 @@ def test_viscosity_capped_at_diffusive_cfl():
         )
     )
     dx, dy, dz = tb.length_scales(grid)
-    cap = 0.2 / (ts * (1.0 / dx**2 + 1.0 / dy**2 + 1.0 / dz**2))
+    # cap_frac = 0.02: the SPECTRAL diffusive limit is K ts (pi/Delta)^2
+    # < ~0.5 (k_max ~ pi/Delta, not 1/Delta) — the old 0.2 cap measured
+    # as a near-wall explicit blow-up on the TC grid (round 3)
+    cap = 0.02 / (ts * (1.0 / dx**2 + 1.0 / dy**2 + 1.0 / dz**2))
     assert (kt <= cap[None, None, :] * (1 + 1e-12)).all()
     # and the cap actually binds for this input
     assert np.isclose(kt.max(), cap.max(), rtol=1e-9)
