@@ -43,6 +43,15 @@ def length_scales(grid):
             if grid.geometry in ("SL", "SLZ"):
                 r = p.sphere_radius * np.cos(r)  # ring radius a cos(lat)
             dy = 2.0 * np.pi * np.maximum(np.abs(r), dx) / max(grid.nl, 1)
+            # anisotropy cap: on near-axisymmetric runs (small nl) the
+            # ring arc 2 pi r / nl is hundreds of km — a coordinate
+            # artifact, not a turbulence filter scale.  Beyond ~4:1 the
+            # geometric-mean Delta stops being meaningful (the subgrid
+            # eddies it models are bounded by the RESOLVING directions);
+            # uncapped it measured as the closure diffusing a balanced
+            # TC vortex away (Vmax 12 -> 7.7 m/s by h34 at lDim = 4,
+            # round-3 sweep).
+            dy = np.minimum(dy, 4.0 * dx)
     else:
         dy = None
     if g in ("RZ", "RLZ"):

@@ -165,12 +165,16 @@ def test_per_ring_arc_length_scale_polar():
     grid = create_grid(gp, jnp.float64)
     dx, dy, dz = tb.length_scales(grid)
     assert dz is None
-    expect = 2.0 * np.pi * np.maximum(np.abs(grid.r_mish), dx) / grid.nl
+    arc = 2.0 * np.pi * np.maximum(np.abs(grid.r_mish), dx) / grid.nl
+    # anisotropy cap: the arc spacing saturates at 4*dx (coarse-azimuth
+    # rings must not inflate the mixing length past the resolving axis)
+    expect = np.minimum(arc, 4.0 * dx)
     assert isinstance(dy, np.ndarray) and dy.shape == (gp.rDim,)
     assert np.allclose(dy, expect)
-    # innermost rings are clipped at dx; the outermost is the true arc
-    assert np.isclose(dy[-1], 2.0 * np.pi * grid.r_mish[-1] / grid.nl,
-                      rtol=1e-6)
+    # innermost rings are clipped at dx from below, outer ones at 4*dx
+    assert np.isclose(dy[0], dx * 2.0 * np.pi / grid.nl, rtol=1e-6) or \
+        dy[0] >= dx * 2.0 * np.pi / grid.nl * (1 - 1e-9)
+    assert np.isclose(dy[-1], 4.0 * dx, rtol=1e-6)
     # viscosity broadcasts the [rDim] dy over the (r, l) spatial shape
     shape = grid.spatial_shape
     zero = jnp.zeros(shape)
