@@ -116,7 +116,7 @@ def initial_vortex(r, z, vmax=12.0, rm=82.5e3):
 
 def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
                 fluxes=True, stable=False, cap=None, filter_tau=0.0,
-                filter_axes="l", rh=0.7, qv0=16.0, smag=0.0):
+                filter_axes="l", rh=0.7, qv0=16.0, smag=0.0, ivd=False):
     from scythe_tpu import BC, ZBC, GridParameters, ModelParameters
 
     os.makedirs(out_dir, exist_ok=True)
@@ -166,6 +166,12 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
         # eddy viscosity — the vortex-safe (r,z)-plane stabilizer the
         # modal filter cannot be on a balanced vortex
         options["smagorinsky"] = float(smag)
+    if ivd:
+        # backward-Euler implicit vertical diffusion: frees the closure
+        # from the near-wall explicit cap (dz_min ~ 93 m caps explicit
+        # K at ~90 m^2/s — an unmixed BL was the measured h32-38
+        # collapse precursor: surface v = 60 m/s; docs/NUMERICS.md)
+        options["implicit_vdiff"] = True
     if fluxes:
         options["surface_fluxes"] = {
             "sst": SST, "Ck": 1.2e-3, "Cd": 1.5e-3, "depth": 600.0,
@@ -279,6 +285,9 @@ def main():
                     help="warm-bubble trigger amplitude (K theta-equiv)")
     ap.add_argument("--smag", type=float, default=0.0,
                     help="Smagorinsky Cs (0.18-0.25 classic; 0 = off)")
+    ap.add_argument("--ivd", action="store_true",
+                    help="implicit vertical diffusion (uncapped vertical "
+                    "closure; options['implicit_vdiff'])")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -304,7 +313,7 @@ def main():
                        fluxes=not args.no_fluxes, stable=args.stable,
                        cap=args.cap, filter_tau=args.filter_tau,
                        filter_axes=args.filter_axes, rh=args.rh,
-                       qv0=args.qv0, smag=args.smag)
+                       qv0=args.qv0, smag=args.smag, ivd=args.ivd)
     dtype = default_dtype()
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)

@@ -51,6 +51,58 @@ class EqContext:
             return self.params[key]
         return self.params.get(key, default)
 
+    def vertical_pgf(self, coeffs, s_z, xi_z, qv_z, default_exact=True):
+        """Perturbation-form vertical pressure gradient dp'/dz.
+
+        ``coeffs`` = (P_s, P_xi, P_qv) at the LOCAL state
+        (td.pressure_gradient_coeffs); ``s_z``/``xi_z``/``qv_z`` are the
+        PERTURBATION vertical derivatives.
+
+        The EXACT form: the chain rule gives dp/dz = P(local)·(pert_z +
+        bar_z), so the perturbation gradient is that minus the reference
+        column's own discrete gradient P(bar)·bar_z
+        (td.reference_pgf_columns).  The correction vanishes identically
+        on the reference column and is second-order small for isobaric
+        (bubble-type) perturbations — P_s and P_xi are both ~∝ p — but
+        first-order in the local PRESSURE departure from the column:
+        measured 1.9 m/s^2 of spurious w forcing on the
+        Jablonowski-Williamson (2006) pole-to-pole state and O(0.1
+        m/s^2) on a mature TC warm core.  The reference omits the term
+        (testModels.jl:552 builds dpdz from perturbation derivatives
+        alone).
+
+        Defaults per equation-set family (``default_exact``):
+
+        * beyond-reference MoistEuler* sets: EXACT, disabled by
+          ``options['reference_quirks']``.  Verified for their
+          cloud-free reference columns (the JW06 imbalance measurement).
+        * reference-parity sets (Euler_test/BF02_test/rainfall_test):
+          reference-faithful, enabled by
+          ``options['exact_vertical_pgf']``.  Kept faithful because the
+          published BF02 validation (docs/RESULTS.md) holds in that form
+          (w_max -> 14.09 vs published ~14.3), while the exact form on
+          BF02's CLOUDY reference column (mu_lbar > 0, whose base
+          liquid is excluded from the sets' rhobar) measured w_max
+          running 14.5 -> 18.3 with resolution — the exact/cloudy
+          combination is not yet a validated pairing."""
+        from ..physics import thermodynamics as td
+
+        Ps, Pxi, Pqv = coeffs
+        base = Ps * s_z + Pxi * xi_z + Pqv * qv_z
+        if default_exact:
+            exact = not self.options.get("reference_quirks")
+        else:
+            exact = bool(self.options.get("exact_vertical_pgf"))
+        if not exact:
+            return base
+        rs = self.ref_state
+        qbar_z, pgf_bar = td.reference_pgf_columns(rs)
+        # [nz] columns broadcast over the trailing (z-last) spatial axis
+        return base + (
+            Ps * rs.sbar[:, 1] + Pxi * rs.xibar[:, 1] + Pqv * qbar_z
+            - pgf_bar
+        )
+
     def stiff_rate(self, rate):
         """Stability limiter for explicit linear relaxation rates (the qss
         condensation/evaporation taus).  Default: identity — the reference
@@ -80,10 +132,23 @@ class EqContext:
         reference column's real height-varying acoustics, lifting the
         deep-column timestep ceiling (docs/NUMERICS.md).  Must match the
         coefficient baked into the Helmholtz solve (model.build_step keys
-        both off the same option)."""
+        both off the same option).
+
+        ``options['si_scale']`` (default 1.0) multiplies the implicit
+        coefficient — the Simmons-Hoskins-Burridge (1978) robustness
+        rule: semi-implicit splitting is stable when the implicit
+        reference acoustics EXCEED the local ones everywhere, so a
+        horizontally inhomogeneous atmosphere (e.g. a pole-to-pole
+        baroclinic state whose polar P_xi/rho runs ~30% above the
+        reference column's) needs the coefficient inflated to the
+        domain max rather than the column mean.  Measured: the JW06
+        steady state is explosively unstable (e-fold ~4 min at the
+        polar stratosphere) at si_scale 1 and clean at 1.5
+        (examples/jw06_baroclinic_slz.py)."""
+        scale = float(self.options.get("si_scale", 1.0))
         if self.options.get("si_mode", "constant") == "variable":
-            return self.ref_state.Pxi_prof
-        return self.ref_state.Pxi_bar
+            return scale * self.ref_state.Pxi_prof
+        return scale * self.ref_state.Pxi_bar
 
     def sedimentation(self, q_r, rho_d, Tk):
         """Rain terminal velocity.  Default: the reference's always-zero
@@ -117,6 +182,10 @@ class EqResult:
     expdot: jnp.ndarray  # [nvars, *spatial]
     impdot: jnp.ndarray | None = None
     overrides: dict[int, jnp.ndarray] = field(default_factory=dict)
+    # total vertical eddy viscosity [*spatial] for the implicit vertical
+    # diffusion solve (options['implicit_vdiff']); None when the option
+    # is off (the set then keeps its explicit K*dzz term)
+    k_v: jnp.ndarray | None = None
 
 
 def get_equation_set(name: str) -> Callable:

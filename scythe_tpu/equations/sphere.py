@@ -179,31 +179,55 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     )[:, None, None, None]
     aa = a * a
     # optional Smagorinsky closure (physics/turbulence.py), spherical
-    # metric-scaled derivatives; curvature terms of the strain omitted
+    # metric-scaled derivatives; curvature terms of the strain omitted.
+    # options['implicit_vdiff'] moves the vertical K*dzz term into the
+    # backward-Euler column solve (model.build_implicit_vdiff).
+    # physical_params['K_v']: separate constant VERTICAL diffusivity
+    # (default = K).  On planetary grids the horizontal spacing is
+    # O(100 km) while the vertical is O(1 km), so the isotropic-K
+    # default badly miscalibrates vertical mixing; K_v = 0 with free
+    # (R0) vertical fits is the standard dry-core configuration
+    # (examples/jw06_baroclinic_slz.py).
+    K_v_const = float(ctx.p("K_v", K))
     cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
-    K_eff = K
+    ivd = bool(ctx.options.get("implicit_vdiff"))
+    K_eff, Kz_eff, k_v = K, K_v_const, (K_v_const if ivd else None)
     if cs > 0.0:
         from ..physics import turbulence as tb
 
         acl = a * cosp
-        K_eff = K + tb.smagorinsky_viscosity(
+        k_t = tb.smagorinsky_viscosity(
             ctx.grid, ctx.ts, cs,
             (dp[3] / a, dl[3] / acl, dz[3]),
             (dp[4] / a, dl[4] / acl, dz[4]),
             (dp[5] / a, dl[5] / acl, dz[5]), dp.dtype,
             n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
+            split_vertical=ivd,
         )
-    lap_all = lap_mask * (
-        K_eff * (dpp / aa + dll / (aa * cosp * cosp) - tanp * dp / aa + dzz)
-    )
+        if ivd:
+            K_eff, k_v = K + k_t[0], K_v_const + k_t[1]
+        else:
+            K_eff, Kz_eff = K + k_t, K_v_const + k_t
+    horiz = dpp / aa + dll / (aa * cosp * cosp) - tanp * dp / aa
+    if ivd:
+        lap_all = lap_mask * (K_eff * horiz)
+    elif K_v_const == K:
+        # single-multiply form, bitwise-identical to the pre-K_v path
+        lap_all = lap_mask * (K_eff * (horiz + dzz))
+    else:
+        lap_all = lap_mask * (K_eff * horiz + Kz_eff * dzz)
 
-    # perturbation pressure gradients in all three directions
-    qvp_p = dp[2] / mu_fac
-    qvp_l = dl[2] / mu_fac
-    qvp_z = dz[2] / mu_fac
-    dpd_phi = td.pressure_gradient(Tk, rho_d, q_v, dp[0], dp[1], qvp_p)
-    dpd_lam = td.pressure_gradient(Tk, rho_d, q_v, dl[0], dl[1], qvp_l)
-    dpd_z = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+    # perturbation pressure gradients in all three directions (shared
+    # local coefficients), with the vertical carrying the exact
+    # reference-gradient cross term (td.reference_pgf_columns): without
+    # it the perturbation form is only balanced NEAR the reference
+    # column — on a pole-to-pole baroclinic state it measured 1.9 m/s^2
+    # of spurious w forcing (docs/NUMERICS.md)
+    coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
+    Ps, Pxi, Pqv = coeffs
+    dpd_phi = Ps * dp[0] + Pxi * dp[1] + Pqv * (dp[2] / mu_fac)
+    dpd_lam = Ps * dl[0] + Pxi * dl[1] + Pqv * (dl[2] / mu_fac)
+    dpd_z = ctx.vertical_pgf(coeffs, dz[0], dz[1], dz[2] / mu_fac)
 
     N_c, r_c = 100.0, 10.0
     cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
@@ -264,4 +288,5 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     return EqResult(
         expdot=adv_all + lap_all + stack_tendencies(nvars, sh, dt, extra),
         impdot=stack_tendencies(nvars, sh, dt, imp),
+        k_v=jnp.broadcast_to(jnp.asarray(k_v, dt), sh) if ivd else None,
     )

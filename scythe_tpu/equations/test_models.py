@@ -153,10 +153,15 @@ def Euler_test(fields, ctx: EqContext) -> EqResult:
     # mu
     exp[2] = (-u * dx[2]) + (-w * (dz[2] + c["mubar_z"])) + K * (dxx[2] + dzz[2])
     # u
-    pgf_x = td.pressure_gradient(Tk, rho_d, q_v, dx[0], dx[1], qvp_x) / rho_t
+    coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
+    Ps, Pxi, Pqv = coeffs
+    pgf_x = (Ps * dx[0] + Pxi * dx[1] + Pqv * qvp_x) / rho_t
     exp[3] = (-u * dx[3]) + (-w * dz[3]) - pgf_x + K * (dxx[3] + dzz[3])
-    # w
-    pgf_z = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z) / rho_t
+    # w: reference-faithful perturbation PGF by default;
+    # options['exact_vertical_pgf'] adds the reference-gradient cross
+    # term (ctx.vertical_pgf docstring for the validation status)
+    pgf_z = ctx.vertical_pgf(coeffs, dz[0], dz[1], qvp_z,
+                             default_exact=False) / rho_t
     exp[4] = (
         (-u * dx[4])
         + (-w * dz[4])
@@ -191,8 +196,11 @@ def BF02_test(fields, ctx: EqContext) -> EqResult:
     qvp_z = dz[2] / mu_fac
     rhobar = td.dry_density(c["xibar0"]) * (1.0 + td.ahyp(c["mubar0"]))
     rho_p = rho_t - rhobar
-    dpdx = td.pressure_gradient(Tk, rho_d, q_v, dx[0], dx[1], qvp_x)
-    dpdz = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+    coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
+    Ps, Pxi, Pqv = coeffs
+    dpdx = Ps * dx[0] + Pxi * dx[1] + Pqv * qvp_x
+    dpdz = ctx.vertical_pgf(coeffs, dz[0], dz[1], qvp_z,
+                            default_exact=False)
 
     # entropy divergence forcing + condensation (ref testModels.jl:300-320)
     Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
@@ -269,8 +277,11 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     qvp_z = dz[2] / mu_fac
     rhobar = td.dry_density(c["xibar0"]) * (1.0 + td.ahyp(c["mubar0"]))
     rho_p = rho_t - rhobar
-    dpdx = td.pressure_gradient(Tk, rho_d, q_v, dx[0], dx[1], qvp_x)
-    dpdz = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+    coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
+    Ps, Pxi, Pqv = coeffs
+    dpdx = Ps * dx[0] + Pxi * dx[1] + Pqv * qvp_x
+    dpdz = ctx.vertical_pgf(coeffs, dz[0], dz[1], qvp_z,
+                            default_exact=False)
 
     Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
     s_div = Cm * (td.Rd + q_v * td.Rv) * (dx[3] + dz[4])
@@ -413,29 +424,50 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     )[:, None, None, None]
     # optional Smagorinsky closure (physics/turbulence.py) with the
     # azimuthal derivative metric-scaled; the curvature diffusion terms
-    # (-K u/r^2 below) stay at the constant K (stabilizer-form closure)
+    # (-K u/r^2 below) stay at the constant K (stabilizer-form closure).
+    # With options['implicit_vdiff'] the vertical K*dzz term moves into
+    # the unconditionally stable backward-Euler column solve
+    # (model.build_implicit_vdiff) and the closure's vertical component
+    # is returned uncapped via EqResult.k_v.
+    # physical_params['K_v']: separate constant vertical diffusivity
+    # (default = K; see the MoistEulerSLZ note — anisotropic grids need
+    # anisotropic constant diffusion)
+    K_v_const = float(ctx.p("K_v", K))
     cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
-    K_eff = K
+    ivd = bool(ctx.options.get("implicit_vdiff"))
+    K_eff, Kz_eff, k_v = K, K_v_const, (K_v_const if ivd else None)
     if cs > 0.0:
         from ..physics import turbulence as tb
 
-        K_eff = K + tb.smagorinsky_viscosity(
+        k_t = tb.smagorinsky_viscosity(
             ctx.grid, ctx.ts, cs,
             (dr[3], dl[3] / r, dz[3]), (dr[4], dl[4] / r, dz[4]),
             (dr[5], dl[5] / r, dz[5]), dr.dtype,
             n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
+            split_vertical=ivd,
         )
-    lap_all = lap_mask * (
-        K_eff * (drr + dr / r + dll / (r * r) + dzz)
-    )
+        if ivd:
+            K_eff, k_v = K + k_t[0], K_v_const + k_t[1]
+        else:
+            K_eff, Kz_eff = K + k_t, K_v_const + k_t
+    horiz = drr + dr / r + dll / (r * r)
+    if ivd:
+        lap_all = lap_mask * (K_eff * horiz)
+    elif K_v_const == K:
+        # single-multiply form, bitwise-identical to the pre-K_v path
+        lap_all = lap_mask * (K_eff * (horiz + dzz))
+    else:
+        lap_all = lap_mask * (K_eff * horiz + Kz_eff * dzz)
 
-    # pressure gradients (perturbation form, all three directions)
-    qvp_r = dr[2] / mu_fac
-    qvp_l = dl[2] / mu_fac
-    qvp_z = dz[2] / mu_fac
-    dpdr = td.pressure_gradient(Tk, rho_d, q_v, dr[0], dr[1], qvp_r)
-    dpdl = td.pressure_gradient(Tk, rho_d, q_v, dl[0], dl[1], qvp_l)
-    dpdz = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+    # pressure gradients (perturbation form, all three directions; the
+    # vertical carries the exact reference-gradient cross term — see
+    # td.reference_pgf_columns and docs/NUMERICS.md.  On a mature TC
+    # warm core the omitted term is an O(0.1 m/s^2) spurious buoyancy)
+    coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
+    Ps, Pxi, Pqv = coeffs
+    dpdr = Ps * dr[0] + Pxi * dr[1] + Pqv * (dr[2] / mu_fac)
+    dpdl = Ps * dl[0] + Pxi * dl[1] + Pqv * (dl[2] / mu_fac)
+    dpdz = ctx.vertical_pgf(coeffs, dz[0], dz[1], dz[2] / mu_fac)
 
     # microphysics (rainfall_test rates, testModels.jl:387-585)
     N_c, r_c = 100.0, 10.0
@@ -489,6 +521,7 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     return EqResult(
         expdot=adv_all + lap_all + stack_tendencies(nvars, sh, dt, extra),
         impdot=stack_tendencies(nvars, sh, dt, imp),
+        k_v=jnp.broadcast_to(jnp.asarray(k_v, dt), sh) if ivd else None,
     )
 
 
@@ -547,9 +580,13 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
         1.0 + td.ahyp(rs.mubar[None, None, :, 0])
     )
     rho_p = rho_t - rhobar
-    dpdx = td.pressure_gradient(Tk, rho_d, q_v, dx[0], dx[1], qvp_x)
-    dpdy = td.pressure_gradient(Tk, rho_d, q_v, dy[0], dy[1], qvp_y)
-    dpdz = td.pressure_gradient(Tk, rho_d, q_v, dz[0], dz[1], qvp_z)
+    # shared local PGF coefficients + the exact reference-gradient cross
+    # term on the vertical (ctx.vertical_pgf, docs/NUMERICS.md)
+    coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
+    Ps, Pxi, Pqv = coeffs
+    dpdx = Ps * dx[0] + Pxi * dx[1] + Pqv * qvp_x
+    dpdy = Ps * dy[0] + Pxi * dy[1] + Pqv * qvp_y
+    dpdz = ctx.vertical_pgf(coeffs, dz[0], dz[1], qvp_z)
 
     Cm = (q_l * td.Cl) / (td.Cvd + q_v * td.Cvv + q_l * td.Cl)
     s_div = Cm * (td.Rd + q_v * td.Rv) * (dx[3] + dy[4] + dz[5])
@@ -585,22 +622,38 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
         return (-u * dx[i]) + (-v * dy[i]) + (-w * wdz)
 
     # optional Smagorinsky closure on top of the constant K
-    # (physics/turbulence.py; capped at the explicit diffusion CFL)
+    # (physics/turbulence.py; capped at the explicit diffusion CFL).
+    # options['implicit_vdiff'] moves the vertical K*dzz term into the
+    # backward-Euler column solve (model.build_implicit_vdiff).
+    # physical_params['K_v']: separate constant vertical diffusivity
+    # (default = K; see the MoistEulerSLZ note)
+    K_v_const = float(ctx.p("K_v", K))
     cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
-    K_eff = K
+    ivd = bool(ctx.options.get("implicit_vdiff"))
+    K_eff, Kz_eff, k_v = K, K_v_const, (K_v_const if ivd else None)
     if cs > 0.0:
         from ..physics import turbulence as tb
 
-        K_eff = K + tb.smagorinsky_viscosity(
+        k_t = tb.smagorinsky_viscosity(
             ctx.grid, ctx.ts, cs,
             (dx[3], dy[3], dz[3]), (dx[4], dy[4], dz[4]),
             (dx[5], dy[5], dz[5]), u.dtype,
             n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
+            split_vertical=ivd,
         )
+        if ivd:
+            K_eff, k_v = K + k_t[0], K_v_const + k_t[1]
+        else:
+            K_eff, Kz_eff = K + k_t, K_v_const + k_t
 
     def lap(i):
         # rainfall_test's K*(dxx + dzz) with dyy inserted in the middle
-        return K_eff * (dxx[i] + dyy[i] + dzz[i])
+        if ivd:
+            return K_eff * (dxx[i] + dyy[i])
+        if K_v_const == K:
+            # single-multiply form, bitwise-identical to the pre-K_v path
+            return K_eff * (dxx[i] + dyy[i] + dzz[i])
+        return K_eff * (dxx[i] + dyy[i]) + Kz_eff * dzz[i]
 
     nvars = ctx.grid.nvars
     sh, dt = u.shape, u.dtype
@@ -623,4 +676,5 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     return EqResult(
         expdot=stack_tendencies(nvars, sh, dt, exp),
         impdot=stack_tendencies(nvars, sh, dt, imp),
+        k_v=jnp.broadcast_to(jnp.asarray(k_v, dt), sh) if ivd else None,
     )

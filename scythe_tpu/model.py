@@ -274,6 +274,80 @@ def build_surface_fluxes(grid: Grid, ctx: EqContext, cfg: dict, dtype):
     return apply
 
 
+def build_implicit_vdiff(grid: Grid, dtype):
+    """Backward-Euler implicit vertical diffusion (beyond-reference).
+
+    Production cloud models treat vertical mixing implicitly because the
+    near-wall spacing makes the explicit diffusive limit K*ts/dz^2
+    prohibitive — on the Chebyshev column dz_min ~ L*(pi/nz)^2/2 (93 m
+    for the 20 km / 24-level TC column), which caps any EXPLICIT closure
+    at O(100 m^2/s) there and leaves a flux-driven TC boundary layer
+    effectively unmixed (measured failure: surface v = 60 m/s and
+    grid-storm collapse, docs/RESULTS.md round 3).
+
+    With options['implicit_vdiff'], each K-diffused variable phi solves,
+    per column, after the explicit/semi-implicit update:
+
+        (I - ts * D_r0 diag(K_v) D_bc) phi^{n+1} = phi*
+
+    D_bc is the variable's BC-constrained spectral derivative (flux-zero
+    walls for R1T1 variables, value-zero for R1T0), D_r0 the
+    unconstrained derivative of the flux, and K_v the uncapped closure
+    field the equation set returns (EqResult.k_v, coefficients lagged
+    one step — standard practice).  The [nz, nz] systems are assembled
+    with one einsum and LU-solved BATCHED over all columns, with
+    same-BC variables sharing a factorization as multiple right-hand
+    sides — dense MXU-friendly column algebra, the TPU analog of the
+    reference's per-column LAPACK solves (semiimplicit.jl:768-781), but
+    with a per-step spatially varying coefficient the reference's
+    precomputed factorization could not carry.  Unconditionally stable:
+    backward Euler on a negative-semidefinite operator.  z is never
+    sharded, so the solve is shard-local under every parallel path.
+    """
+    from .basis import chebyshev
+
+    p = grid.params
+    nz = p.zDim
+    z0 = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim)
+    d_r0 = z0.dsynth @ (z0.constrain @ z0.analysis)
+
+    # group diffused variables by BC pair so each group shares one
+    # batched factorization (multi-RHS solve).  xi (mass) and qss
+    # (supersaturation bookkeeping) are not K-diffused, matching the
+    # equation sets' lap_mask.
+    groups: dict[tuple, list[int]] = {}
+    for v, name in enumerate(p.vars):
+        if name in ("xi", "qss"):
+            continue
+        groups.setdefault((p.BCB[v], p.BCT[v]), []).append(v)
+    mats = {}
+    for pair, idxs in groups.items():
+        zv = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim, *pair)
+        d_bc = zv.dsynth @ (zv.constrain @ zv.analysis)
+        mats[pair] = (
+            jnp.asarray(d_r0, dtype),
+            jnp.asarray(d_bc, dtype),
+            tuple(idxs),
+        )
+    eye = jnp.eye(nz, dtype=dtype)
+
+    def apply(var_np1, k_v, ts):
+        # k_v: [*spatial] (z-last); var_np1: [nvars, *spatial]
+        for (dr0, dbc, idxs) in mats.values():
+            # L = D_r0 @ diag(K) @ D_bc, batched over columns:
+            # (K[..., m] * D_bc[m, j]) contracted with D_r0[i, m]
+            kd = k_v[..., :, None] * dbc
+            lmat = jnp.einsum("im,...mj->...ij", dr0, kd)
+            m = eye - ts * lmat
+            rhs = jnp.stack([var_np1[i] for i in idxs], axis=-1)
+            sol = jnp.linalg.solve(m, rhs)
+            for k, i in enumerate(idxs):
+                var_np1 = var_np1.at[i].set(sol[..., k])
+        return var_np1
+
+    return apply
+
+
 def build_step(
     model: ModelParameters,
     grid: Grid,
@@ -324,14 +398,18 @@ def build_step(
         # operator so the reference column's full acoustics go implicit
         # (deep-column stability, docs/NUMERICS.md); the equation sets pick
         # the matching impdot coefficient via ctx.pxi_si().
+        # options['si_scale'] inflates the implicit coefficient (SHB78
+        # robustness rule — see EqContext.pxi_si, which applies the SAME
+        # scale to the equation sets' impdot term)
+        si_scale = float(opts.get("si_scale", 1.0))
         si_ops = ti.build_semiimplicit_ops(
             p.zDim,
             p.zmin,
             p.zmax,
             p.b_zDim,
-            np.asarray(ctx.ref_state.Pxi_prof, np.float64)
+            si_scale * np.asarray(ctx.ref_state.Pxi_prof, np.float64)
             if si_mode == "variable"
-            else float(ctx.ref_state.Pxi_bar),
+            else si_scale * float(ctx.ref_state.Pxi_bar),
             model.ts,
             dtype,
         )
@@ -410,6 +488,19 @@ def build_step(
     if sfx_cfg:
         sfx_apply = build_surface_fluxes(grid, ctx, dict(sfx_cfg), dtype)
 
+    # Optional implicit vertical diffusion (build_implicit_vdiff): off by
+    # default.  Requires an equation set that exports EqResult.k_v.
+    vdiff_apply = None
+    if opts.get("implicit_vdiff"):
+        if model.equation_set not in (
+            "MoistEulerRLZ", "MoistEulerXYZ", "MoistEulerSLZ"
+        ):
+            raise ValueError(
+                "options['implicit_vdiff'] is supported by the MoistEuler* "
+                f"equation sets, not {model.equation_set!r}"
+            )
+        vdiff_apply = build_implicit_vdiff(grid, dtype)
+
     def step(state: ti.ModelState) -> ti.ModelState:
         fields = synthesis_fn(state.spec)
         res = eqset(fields, ctx)
@@ -445,6 +536,8 @@ def build_step(
             var_np1 = var_np1.at[w_i].set(w_new).at[xi_i].set(xi_new)
         if impdot is not None:
             i_nm1, i_nm2 = impdot, state.impdot_nm1
+        if vdiff_apply is not None:
+            var_np1 = vdiff_apply(var_np1, res.k_v, ts)
         if needs_condensation:
             var_np1 = mp.condensation_adjustment(var_np1, impdot, ctx)
         spec_new = analysis_fn(var_np1)

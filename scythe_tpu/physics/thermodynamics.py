@@ -231,6 +231,44 @@ def pressure_gradient(Tk, rho_d, q_v, s_x, xi_x, qv_x):
     )
 
 
+def pressure_gradient_coeffs(Tk, rho_d, q_v):
+    """(P_s, P_xi, P_qv) evaluated once, for callers that apply the same
+    local coefficients to several directional gradients (the three
+    perturbation directions + the reference vertical gradient).  One
+    coefficient evaluation instead of the 3-4 ``pressure_gradient``
+    calls would pay."""
+    return P_s(Tk, rho_d, q_v), P_xi(Tk, rho_d, q_v), P_qv(Tk, rho_d, q_v)
+
+
+def reference_pgf_columns(rs):
+    """Ingredients of the exact perturbation-form vertical PGF.
+
+    The chain rule gives dp/dz = P(local)·(pert_z + bar_z); the
+    perturbation form computes -g rho' - P(local)·pert_z, which silently
+    drops the CROSS term (P(local) - P(bar))·bar_z.  That term vanishes
+    on the reference column but scales with the thermodynamic
+    perturbation: measured 1.9 m/s^2 of spurious vertical acceleration
+    on the Jablonowski-Williamson (2006) initial state (pole vs the
+    45-deg reference column), and O(0.1 m/s^2) on a mature TC warm core.
+    Returns (qbar_z [nz], pgf_bar [nz]) with pgf_bar = P(bar)·bar_z, so
+    an equation set can form the corrected gradient as
+
+        dpd_z + P(local)·bar_z - pgf_bar
+
+    which reduces EXACTLY to the uncorrected form when the local state
+    equals the reference column (the quiet column stays quiet regardless
+    of the column's own discrete hydrostatic residual)."""
+    sbar, xibar, mubar = rs.sbar, rs.xibar, rs.mubar
+    qbar_v, rhobar_d, Tbar, _ = thermodynamic_tuple(
+        sbar[:, 0], xibar[:, 0], mubar[:, 0]
+    )
+    qbar_z = mubar[:, 1] / dmudq(mubar[:, 0], qbar_v)
+    pgf_bar = pressure_gradient(
+        Tbar, rhobar_d, qbar_v, sbar[:, 1], xibar[:, 1], qbar_z
+    )
+    return qbar_z, pgf_bar
+
+
 def thermodynamic_tuple(s, xi, mu):
     """(q_v, rho_d, Tk, p) from prognostic (s, xi, mu)
     (ref thermodynamics.jl:260-269)."""

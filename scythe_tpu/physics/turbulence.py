@@ -66,7 +66,8 @@ def length_scales(grid):
 
 
 def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
-                          pr=1.0 / 3.0, cap_frac=0.02):
+                          pr=1.0 / 3.0, cap_frac=0.02,
+                          split_vertical=False):
     """Capped Smagorinsky viscosity field.
 
     ``du``/``dv``/``dw``: tuples of the PHYSICAL derivatives of each
@@ -81,6 +82,17 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
     develops without a PBL scheme) and shut off in strongly stratified
     ones (Ri > Pr).  The moist equation sets pass the dry-entropy
     estimate N^2 = (g/Cpd) d(s_total)/dz.
+
+    ``split_vertical``: for options['implicit_vdiff'] configurations —
+    returns (k_h, k_v) where k_h is capped at the HORIZONTAL explicit
+    diffusive limit only (it multiplies the explicit horizontal
+    Laplacian) and k_v is the UNCAPPED closure value (it feeds the
+    unconditionally stable backward-Euler vertical solve,
+    model.build_implicit_vdiff).  Without the split, the combined cap is
+    dominated by the near-wall Chebyshev spacing (dz_min ~ L (pi/nz)^2 /
+    2), which capped the closure to O(100 m^2/s) exactly where a TC
+    boundary layer needs O(10-100x) more mixing — the measured surface
+    v = 60 m/s unmixed-BL failure mode of the round-3 TC runs.
     """
     dx, dy, dz = length_scales(grid)
 
@@ -121,6 +133,7 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
     if dy is not None:
         prod = prod * dy_b
         inv2 = inv2 + 1.0 / np.asarray(dy_b) ** 2
+    inv2_h = inv2
     if has_z:
         prod = prod * dz_b
         inv2 = inv2 + 1.0 / dz_b**2
@@ -131,6 +144,9 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
     # round-2 cap of 0.2/(ts inv2) sat ~4x above it and measured as a
     # near-wall explicit blow-up within 50 steps once the TC runs
     # actually reached the cap (round-3 sweep forensics)
-    cap = cap_frac / (ts * inv2)
     k_t = (cs * jnp.asarray(delta, dtype)) ** 2 * smag
+    if split_vertical:
+        cap_h = cap_frac / (ts * inv2_h)
+        return jnp.minimum(k_t, jnp.asarray(cap_h, dtype)), k_t
+    cap = cap_frac / (ts * inv2)
     return jnp.minimum(k_t, jnp.asarray(cap, dtype))

@@ -157,8 +157,11 @@ def test_slz_midlatitude_bubble_rises(tmp_path):
     w = phys[VARS["w"] - 1]
     # bounded everywhere (pole-ring metric noise at this very coarse
     # resolution is of the same order as the weak thermal signal; the
-    # 24-cell probe separated them cleanly — docs/RESULTS.md)
-    assert np.abs(w).max() < 1.0, np.abs(w).max()
+    # 24-cell probe separated them cleanly — docs/RESULTS.md).  Bound
+    # raised 1.0 -> 1.5 with the exact perturbation-PGF cross term
+    # (ctx.vertical_pgf): the corrected buoyancy gives a ~5% stronger
+    # updraft (1.05 m/s) on this coarse thermal.
+    assert np.abs(w).max() < 1.5, np.abs(w).max()
     # the thermal's latitude band carries a real, elevated updraft
     band = np.abs(np.degrees(grid.r_mish) - 30.0) < 20.0
     wb = w[band]

@@ -160,7 +160,16 @@ def test_xyz_reduces_to_rz_slab(tmp_path):
         v2 = phys_rz[gp_rz.var_index(name)]
         phys_xyz[gp_xyz.var_index(name)] = v2[:, None, :]
 
+    # match the vertical-PGF form: rainfall_test defaults to the
+    # reference-faithful perturbation PGF, MoistEulerXYZ to the exact
+    # cross-term form (ctx.vertical_pgf) — opt the RZ side into the
+    # exact form so the reduction compares identical dynamics
+    import dataclasses
+
     m_rz = _model(tmp_path, gp_rz, "rainfall_test", "rz.csv")
+    m_rz = dataclasses.replace(
+        m_rz, options={**m_rz.opts(), "exact_vertical_pgf": True}
+    )
     m_xyz = _model(tmp_path, gp_xyz, "MoistEulerXYZ", "xyz.csv")
     out_rz = _run(m_rz, grid_rz, phys_rz, 60)
     out_xyz = _run(m_xyz, grid_xyz, phys_xyz, 60)
