@@ -1,0 +1,106 @@
+"""Jablonowski & Williamson (2006) baroclinic-wave setup on the SLZ
+shell (examples/jw06_baroclinic_slz.py) — pins the three measured
+ingredients that make the pole-to-pole 3-D state integrable:
+
+1. the exact perturbation-PGF cross term (ctx.vertical_pgf): without it
+   the initial w forcing is ~1.9 m/s^2 (blow-up in 3 steps);
+2. free (R0) vertical fits for the thermo/wind perturbations: the
+   insulated R1T1 clamp was a non-converging ~0.5 m/s^2 surface misfit;
+3. options['si_scale'] and the stratopause buoyancy-CFL timestep.
+
+The full 9-day wave run is examples/jw06_baroclinic_slz.py (TPU);
+this test keeps a coarse CPU version of the t=0 balance and a short
+stability window in the suite.
+"""
+
+import importlib.util
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+_spec = importlib.util.spec_from_file_location(
+    "jw06_example",
+    os.path.join(os.path.dirname(__file__), "..", "examples",
+                 "jw06_baroclinic_slz.py"),
+)
+jw = importlib.util.module_from_spec(_spec)
+sys.modules["jw06_example"] = jw
+_spec.loader.exec_module(jw)
+
+from scythe_tpu import create_grid
+from scythe_tpu import timeintegration as ti
+from scythe_tpu.model import build_context, build_step, make_scan
+from scythe_tpu.physics import thermodynamics as td
+
+
+def _setup(tmp_path, cells=12, nl=32, zdim=20, ts=15.0):
+    model = jw.build_model(str(tmp_path), num_cells=cells, nl=nl,
+                           zdim=zdim, ts=ts, t_end=86400.0)
+    grid = create_grid(model.grid_params, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    return model, grid, ctx
+
+
+def test_initial_state_discretely_balanced(tmp_path):
+    """The analytic JW06 state, fit on the grid, must carry a small
+    residual w forcing: measured 0.033 m/s^2 at cells=16/zdim=24 (vs
+    1.9 uncorrected / 0.5 with the R1T1 clamp).  Coarser test grid
+    gets a looser but still order-separating bound."""
+    model, grid, ctx = _setup(tmp_path)
+    phys0 = jw.initial_fields(grid, ctx.ref_state, perturb=False)
+    spec = grid.analysis(jnp.asarray(phys0, jnp.float64))
+    f = grid.synthesis(spec)
+    val, dz = f["val"], f["dz"]
+    rs = ctx.ref_state
+    sbar = np.asarray(rs.sbar)
+    xibar = np.asarray(rs.xibar)
+    mubar = np.asarray(rs.mubar)
+    q_v, rho_d, Tk, _ = td.thermodynamic_tuple(
+        val[0] + sbar[None, None, :, 0],
+        val[1] + xibar[None, None, :, 0],
+        val[2] + mubar[None, None, :, 0],
+    )
+    rho_t = rho_d * (1.0 + q_v)
+    rhobar = td.dry_density(xibar[None, None, :, 0]) * (
+        1.0 + td.ahyp(mubar[None, None, :, 0])
+    )
+    coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
+    mu_fac = td.dmudq(val[2] + mubar[None, None, :, 0], q_v)
+    dpdz = ctx.vertical_pgf(coeffs, dz[0], dz[1], dz[2] / mu_fac)
+    force = np.asarray(
+        (-td.GRAVITY * (rho_t - rhobar) - dpdz) / rho_t
+    )
+    assert np.isfinite(force).all()
+    assert np.abs(force).max() < 0.25, np.abs(force).max()
+    # the uncorrected form is an order of magnitude worse (the pinned
+    # regression: dropping the cross term must be visible)
+    base = np.asarray(
+        ctx.vertical_pgf(coeffs, dz[0], dz[1], dz[2] / mu_fac,
+                         default_exact=False)
+    )
+    force_unc = np.asarray(
+        (-td.GRAVITY * (rho_t - rhobar) - base) / rho_t
+    )
+    assert np.abs(force_unc).max() > 4.0 * np.abs(force).max()
+
+
+def test_steady_state_short_window(tmp_path):
+    """100 steps (25 min) of the unperturbed state: finite, w bounded,
+    and the zonal jet essentially intact."""
+    model, grid, ctx = _setup(tmp_path)
+    phys0 = jw.initial_fields(grid, ctx.ref_state, perturb=False)
+    spec0 = grid.analysis(jnp.asarray(phys0, jnp.float64))
+    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape,
+                             jnp.float64)
+    step = build_step(model, grid, ctx, jnp.float64)
+    state = make_scan(step, 100)(state)
+    phys = np.asarray(grid.synthesis(state.spec)["val"])
+    assert np.isfinite(phys).all()
+    w = phys[5]
+    assert np.abs(w).max() < 1.0, np.abs(w).max()
+    u0 = phys0[3].max()
+    assert abs(phys[3].max() - u0) < 0.15 * u0
