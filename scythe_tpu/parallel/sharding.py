@@ -103,6 +103,18 @@ def _local_grid(grid: Grid, idx, rows: int) -> Grid:
         )
     if grid.ring_mask is not None:
         lg.ring_mask = jax.lax.dynamic_slice_in_dim(grid.ring_mask, start, rows, axis=0)
+    # Smagorinsky per-ring arc spacing [rDim] -> this shard's rows (the
+    # closure's only radially-shaped static input; physics/turbulence
+    # ring_arc_spacing caches it on the global grid)
+    from ..physics.turbulence import ring_arc_spacing
+
+    dy = ring_arc_spacing(grid)
+    if getattr(dy, "ndim", 0) >= 1:
+        lg.smag_dy = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(dy), start, rows, axis=0
+        )
+    else:
+        lg.smag_dy = dy
     return lg
 
 
@@ -269,6 +281,15 @@ def _window_grid(grid: Grid, idx, n: int) -> Grid:
         lg.synth_r_val_f = jax.lax.dynamic_slice_in_dim(sf, b0, W, axis=1)
     if grid.ring_mask is not None:
         lg.ring_mask = jax.lax.dynamic_slice_in_dim(grid.ring_mask, r0, rows, axis=0)
+    from ..physics.turbulence import ring_arc_spacing
+
+    dy = ring_arc_spacing(grid)
+    if getattr(dy, "ndim", 0) >= 1:
+        lg.smag_dy = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(dy), r0, rows, axis=0
+        )
+    else:
+        lg.smag_dy = dy
     return lg
 
 

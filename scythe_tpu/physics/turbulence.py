@@ -23,6 +23,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def ring_arc_spacing(grid):
+    """Per-ring azimuthal arc spacing [rDim] (static numpy), cached on
+    the grid as ``smag_dy`` so the sharded builder can slice it to the
+    shard's rows (parallel/sharding._local_grid): a shard-local grid's
+    fields no longer span the global rDim, and an unsliced [rDim] dy
+    broadcasts against them with a shape error (measured —
+    tests/test_sharding.py::test_implicit_vdiff_sharded_matches_single).
+    Returns None for structural classes without an azimuthal axis and a
+    scalar for the uniform XYZ y axis."""
+    cached = getattr(grid, "smag_dy", "unset")
+    if not isinstance(cached, str):
+        return cached
+    p = grid.params
+    g = grid._struct
+    if g not in ("RL", "RLZ"):
+        dy = None
+    elif grid.geometry == "XYZ":
+        dy = (p.ymax - p.ymin) / max(grid.nl, 1)
+    else:
+        dx = (p.xmax - p.xmin) / max(p.rDim, 1)
+        r = np.asarray(grid.r_mish, np.float64)
+        if grid.geometry in ("SL", "SLZ"):
+            r = p.sphere_radius * np.cos(r)  # ring radius a cos(lat)
+        dy = 2.0 * np.pi * np.maximum(np.abs(r), dx) / max(grid.nl, 1)
+        # anisotropy cap: on near-axisymmetric runs (small nl) the
+        # ring arc 2 pi r / nl is hundreds of km — a coordinate
+        # artifact, not a turbulence filter scale.  Beyond ~4:1 the
+        # geometric-mean Delta stops being meaningful (the subgrid
+        # eddies it models are bounded by the RESOLVING directions);
+        # uncapped it measured as the closure diffusing a balanced
+        # TC vortex away (Vmax 12 -> 7.7 m/s by h34 at lDim = 4,
+        # round-3 sweep).
+        dy = np.minimum(dy, 4.0 * dx)
+    grid.smag_dy = dy
+    return dy
+
+
 def length_scales(grid):
     """(dx, dy, dz) physical spacings of the three directions for the
     grid's structural class.  dx is the mean radial mish spacing
@@ -35,25 +72,9 @@ def length_scales(grid):
     p = grid.params
     g = grid._struct
     dx = (p.xmax - p.xmin) / max(p.rDim, 1)
-    if g in ("RL", "RLZ"):
-        if grid.geometry == "XYZ":
-            dy = (p.ymax - p.ymin) / max(grid.nl, 1)
-        else:
-            r = np.asarray(grid.r_mish, np.float64)
-            if grid.geometry in ("SL", "SLZ"):
-                r = p.sphere_radius * np.cos(r)  # ring radius a cos(lat)
-            dy = 2.0 * np.pi * np.maximum(np.abs(r), dx) / max(grid.nl, 1)
-            # anisotropy cap: on near-axisymmetric runs (small nl) the
-            # ring arc 2 pi r / nl is hundreds of km — a coordinate
-            # artifact, not a turbulence filter scale.  Beyond ~4:1 the
-            # geometric-mean Delta stops being meaningful (the subgrid
-            # eddies it models are bounded by the RESOLVING directions);
-            # uncapped it measured as the closure diffusing a balanced
-            # TC vortex away (Vmax 12 -> 7.7 m/s by h34 at lDim = 4,
-            # round-3 sweep).
-            dy = np.minimum(dy, 4.0 * dx)
-    else:
-        dy = None
+    # dy may come back as a shard-local traced slice (see
+    # ring_arc_spacing) — all downstream math must stay jnp-safe
+    dy = ring_arc_spacing(grid)
     if g in ("RZ", "RLZ"):
         z = np.asarray(grid.z_mish, np.float64)
         dz = np.empty_like(z)
@@ -118,9 +139,11 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
 
     # filter scale: geometric mean of the available spacings, built in
     # broadcastable form against the z-last spatial layout ([r,(l),(z)]).
-    # dy may be a per-ring [rDim] array on polar/spherical grids.
+    # dy may be a per-ring [rDim] array on polar/spherical grids — and a
+    # TRACED shard-local slice under the sharded builders, so this block
+    # uses operations valid for numpy and jnp alike.
     has_z = dz is not None
-    if isinstance(dy, np.ndarray):
+    if dy is not None and getattr(dy, "ndim", 0) >= 1:
         dy_b = dy[:, None, None] if has_z else dy[:, None]
     else:
         dy_b = dy  # scalar or None
@@ -132,7 +155,7 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
     inv2 = np.asarray(1.0 / dx**2, np.float64)
     if dy is not None:
         prod = prod * dy_b
-        inv2 = inv2 + 1.0 / np.asarray(dy_b) ** 2
+        inv2 = inv2 + 1.0 / (dy_b * dy_b)
     inv2_h = inv2
     if has_z:
         prod = prod * dz_b

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from scythe_tpu import BC, GridParameters, ModelParameters, create_grid
+from scythe_tpu import BC, ZBC, GridParameters, ModelParameters, create_grid
 from scythe_tpu.model import build_step, initialize, make_scan
 from scythe_tpu.parallel import sharding as sh
 
@@ -290,6 +290,85 @@ def test_modal_filter_sharded_matches_single(tmp_path, setup, method):
     )
     out = make_scan(sstep, n_steps)(state2)
 
+    spec = np.asarray(out.spec)
+    if method == "halo":
+        spec = np.asarray(
+            sh.blocks_to_spec(out.spec, 8, grid.params.num_cells // 8)
+        )
+    np.testing.assert_allclose(
+        spec, np.asarray(ref.spec), rtol=1e-12, atol=1e-12
+    )
+
+
+def _moist_rlz_ivd_setup(tmp_path):
+    """MoistEulerRLZ with implicit vertical diffusion + Smagorinsky: the
+    TC-production option set (tc_sweep4).  The vdiff solve is per-column
+    (z is never sharded) so every method must stay 1e-12-invariant."""
+    gp = GridParameters(
+        geometry="RLZ",
+        xmin=0.0,
+        xmax=100.0e3,
+        num_cells=32,
+        lDim=4,
+        zmin=0.0,
+        zmax=10000.0,
+        zDim=16,
+        BCL={"u": BC.R1T0, "v": BC.R1T0, "w": BC.R1T1},
+        BCR={"u": BC.R1T0},
+        BCB={"s": ZBC.R1T1, "u": ZBC.R1T1, "v": ZBC.R1T1, "mu": ZBC.R1T1,
+             "mu_c": ZBC.R1T1, "w": ZBC.R1T0},
+        BCT={"s": ZBC.R1T1, "u": ZBC.R1T1, "v": ZBC.R1T1, "mu": ZBC.R1T1,
+             "mu_c": ZBC.R1T1, "mu_r": ZBC.R1T1, "w": ZBC.R1T0},
+        vars={"s": 1, "xi": 2, "mu": 3, "u": 4, "v": 5, "w": 6,
+              "mu_c": 7, "mu_r": 8, "qss": 9},
+    )
+    model = ModelParameters(
+        ts=0.5,
+        integration_time=5.0,
+        output_interval=5.0,
+        equation_set="MoistEulerRLZ",
+        initial_conditions=str(tmp_path / "ics_rlz.csv"),
+        output_dir=str(tmp_path / "out"),
+        ref_state_file=_write_sounding(str(tmp_path / "snd_rlz.txt")),
+        grid_params=gp,
+        physical_params={"K": 5.0, "f": 5.0e-5},
+        options={"semiimplicit": True, "stiff_relaxation": "exp",
+                 "implicit_vdiff": True, "smagorinsky": 0.2},
+    )
+    grid = create_grid(gp, jnp.float64)
+    pts = grid.gridpoints()
+    r, z = pts[:, 0], pts[:, 2]
+    rad = np.sqrt(((r - 40.0e3) / 20.0e3) ** 2 + ((z - 2000.0) / 2000.0) ** 2)
+    s_pert = 3.0 * np.maximum(0.0, np.cos(np.pi * np.minimum(rad, 1.0) / 2.0)) ** 2
+    names = list(gp.vars)
+    with open(model.initial_conditions, "w") as f:
+        f.write("r,l,z," + ",".join(names) + "\n")
+        for i in range(len(r)):
+            vals = {"s": s_pert[i], "u": 1.0}
+            f.write(
+                f"{r[i]},{pts[i, 1]},{z[i]},"
+                + ",".join(str(vals.get(n, 0.0)) for n in names) + "\n"
+            )
+    return model
+
+
+@pytest.mark.parametrize("method", ["psum", "halo", "halo-pcr"])
+def test_implicit_vdiff_sharded_matches_single(tmp_path, method):
+    model = _moist_rlz_ivd_setup(tmp_path)
+    n_steps = 6
+    method, interface = (
+        ("halo", "pcr") if method == "halo-pcr" else (method, "gather")
+    )
+    grid, ctx, state = initialize(model)
+    step = build_step(model, grid, ctx, jnp.float64)
+    ref = make_scan(step, n_steps)(state)
+
+    mesh = sh.make_mesh(8)
+    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh, method=method)
+    sstep = sh.build_sharded_step(
+        model, grid2, ctx2, jnp.float64, mesh, method, interface
+    )
+    out = make_scan(sstep, n_steps)(state2)
     spec = np.asarray(out.spec)
     if method == "halo":
         spec = np.asarray(
