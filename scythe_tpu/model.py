@@ -285,24 +285,32 @@ def build_implicit_vdiff(grid: Grid, dtype):
     effectively unmixed (measured failure: surface v = 60 m/s and
     grid-storm collapse, docs/RESULTS.md round 3).
 
-    With options['implicit_vdiff'], each K-diffused variable phi solves,
-    per column, after the explicit/semi-implicit update:
+    With options['implicit_vdiff'], every K-diffused variable phi
+    solves, per column, after the explicit/semi-implicit update:
 
-        (I - ts * D_r0 diag(K_v) D_bc) phi^{n+1} = phi*
+        (I + ts * W^-1 D^T diag(w_q K_v) D) phi^{n+1} = phi*
 
-    D_bc is the variable's BC-constrained spectral derivative (flux-zero
-    walls for R1T1 variables, value-zero for R1T0), D_r0 the
-    unconstrained derivative of the flux, and K_v the uncapped closure
-    field the equation set returns (EqResult.k_v, coefficients lagged
-    one step — standard practice).  The [nz, nz] systems are assembled
-    with one einsum and LU-solved BATCHED over all columns, with
-    same-BC variables sharing a factorization as multiple right-hand
-    sides — dense MXU-friendly column algebra, the TPU analog of the
-    reference's per-column LAPACK solves (semiimplicit.jl:768-781), but
-    with a per-step spatially varying coefficient the reference's
-    precomputed factorization could not carry.  Unconditionally stable:
-    backward Euler on a negative-semidefinite operator.  z is never
-    sharded, so the solve is shard-local under every parallel path.
+    the SYMMETRIC (weak/flux) form of -d/dz(K d/dz): D is the
+    unconstrained spectral derivative on the Gauss points and w_q the
+    Chebyshev-Gauss quadrature weights, so the operator is similar to a
+    symmetric negative-semidefinite matrix FOR ANY rounding of D — the
+    collocation form D_r0 diag(K) D_bc this replaced measured an f32
+    spectral radius of 1.0001-1.006 for R0-boundary variables (e-fold
+    175-10,000 steps: the quiet h58 NaN of the first diagnostic+ivd TC
+    run), while the flux form is stable by construction, conserves the
+    column integral to roundoff (flux-zero walls emerge from the weak
+    form; w's wall values are re-imposed by its own spectral constraint
+    at the closing analysis), and needs ONE operator for all variables.
+    K_v is the uncapped closure field the equation set returns
+    (EqResult.k_v, coefficients lagged one step — standard practice).
+    The [nz, nz] systems are assembled with one einsum and LU-solved
+    BATCHED over all columns with the diffused variables as shared
+    right-hand sides — dense MXU-friendly column algebra, the TPU
+    analog of the reference's per-column LAPACK solves
+    (semiimplicit.jl:768-781), but with a per-step spatially varying
+    coefficient a precomputed factorization could not carry.  z is
+    never sharded, so the solve is shard-local under every parallel
+    path.
     """
     from .basis import chebyshev
 
@@ -310,39 +318,28 @@ def build_implicit_vdiff(grid: Grid, dtype):
     nz = p.zDim
     z0 = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim)
     d_r0 = z0.dsynth @ (z0.constrain @ z0.analysis)
-
-    # group diffused variables by BC pair so each group shares one
-    # batched factorization (multi-RHS solve).  xi (mass) and qss
-    # (supersaturation bookkeeping) are not K-diffused, matching the
-    # equation sets' lap_mask.
-    groups: dict[tuple, list[int]] = {}
-    for v, name in enumerate(p.vars):
-        if name in ("xi", "qss"):
-            continue
-        groups.setdefault((p.BCB[v], p.BCT[v]), []).append(v)
-    mats = {}
-    for pair, idxs in groups.items():
-        zv = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim, *pair)
-        d_bc = zv.dsynth @ (zv.constrain @ zv.analysis)
-        mats[pair] = (
-            jnp.asarray(d_r0, dtype),
-            jnp.asarray(d_bc, dtype),
-            tuple(idxs),
-        )
+    # Chebyshev-Gauss quadrature weights on the (ascending) mish points
+    theta = np.pi * (np.arange(nz) + 0.5) / nz
+    wq = 0.5 * (p.zmax - p.zmin) * (np.pi / nz) * np.sin(theta)
+    dmat = jnp.asarray(d_r0, dtype)
+    wq_j = jnp.asarray(wq, dtype)
+    winv = jnp.asarray(1.0 / wq, dtype)
+    # xi (mass) and qss (supersaturation bookkeeping) are not
+    # K-diffused, matching the equation sets' lap_mask
+    idxs = tuple(
+        v for v, name in enumerate(p.vars) if name not in ("xi", "qss")
+    )
     eye = jnp.eye(nz, dtype=dtype)
 
     def apply(var_np1, k_v, ts):
         # k_v: [*spatial] (z-last); var_np1: [nvars, *spatial]
-        for (dr0, dbc, idxs) in mats.values():
-            # L = D_r0 @ diag(K) @ D_bc, batched over columns:
-            # (K[..., m] * D_bc[m, j]) contracted with D_r0[i, m]
-            kd = k_v[..., :, None] * dbc
-            lmat = jnp.einsum("im,...mj->...ij", dr0, kd)
-            m = eye - ts * lmat
-            rhs = jnp.stack([var_np1[i] for i in idxs], axis=-1)
-            sol = jnp.linalg.solve(m, rhs)
-            for k, i in enumerate(idxs):
-                var_np1 = var_np1.at[i].set(sol[..., k])
+        # S_ij = sum_m D_mi (wq_m K_m) D_mj, batched over columns
+        s = jnp.einsum("mi,...m,mj->...ij", dmat, wq_j * k_v, dmat)
+        m = eye + ts * (winv[:, None] * s)
+        rhs = jnp.stack([var_np1[i] for i in idxs], axis=-1)
+        sol = jnp.linalg.solve(m, rhs)
+        for k, i in enumerate(idxs):
+            var_np1 = var_np1.at[i].set(sol[..., k])
         return var_np1
 
     return apply

@@ -76,9 +76,19 @@ def _model(tmp_path, ts, K, extra_opts):
     )
 
 
+def _flux_form_matrices(p):
+    nz = p.zDim
+    z0 = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim)
+    d = z0.dsynth @ (z0.constrain @ z0.analysis)
+    theta = np.pi * (np.arange(nz) + 0.5) / nz
+    wq = 0.5 * (p.zmax - p.zmin) * (np.pi / nz) * np.sin(theta)
+    return d, wq
+
+
 def test_solve_matches_numpy_reference():
     """The batched einsum+LU assembly solves exactly the per-column
-    (I - ts D_r0 diag(K) D_bc) system built independently in numpy."""
+    symmetric flux-form system (I + ts W^-1 D^T diag(wq K) D) built
+    independently in numpy."""
     gp = _grid_params(num_cells=4, zdim=12)
     grid = create_grid(gp, jnp.float64)
     apply = build_implicit_vdiff(grid, jnp.float64)
@@ -91,23 +101,39 @@ def test_solve_matches_numpy_reference():
 
     p = gp
     nz = p.zDim
-    z0 = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim)
-    d_r0 = z0.dsynth @ (z0.constrain @ z0.analysis)
+    d, wq = _flux_form_matrices(p)
     for v, name in enumerate(p.vars):
         if name in ("xi", "qss"):
             # untouched
             assert np.array_equal(out[v], var[v])
             continue
-        zv = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim,
-                                 p.BCB[v], p.BCT[v])
-        d_bc = zv.dsynth @ (zv.constrain @ zv.analysis)
         flat_k = k_v.reshape(-1, nz)
         flat_v = var[v].reshape(-1, nz)
         expect = np.empty_like(flat_v)
         for c in range(flat_v.shape[0]):
-            m = np.eye(nz) - ts * (d_r0 @ np.diag(flat_k[c]) @ d_bc)
+            m = np.eye(nz) + ts * (
+                np.diag(1.0 / wq) @ d.T @ np.diag(wq * flat_k[c]) @ d
+            )
             expect[c] = np.linalg.solve(m, flat_v[c])
         assert np.allclose(out[v].reshape(-1, nz), expect, atol=1e-10), name
+
+
+def test_flux_form_conserves_column_integral():
+    """The weak form's flux-zero walls conserve the quadrature column
+    integral of every diffused variable to roundoff — the property the
+    replaced collocation form lacked (and with it, f32 stability)."""
+    gp = _grid_params(num_cells=4, zdim=16)
+    grid = create_grid(gp, jnp.float64)
+    apply = build_implicit_vdiff(grid, jnp.float64)
+    rng = np.random.default_rng(1)
+    shape = (grid.nvars,) + grid.spatial_shape
+    var = rng.normal(size=shape)
+    k_v = np.abs(rng.normal(size=grid.spatial_shape)) * 2.0e4
+    out = np.asarray(apply(jnp.asarray(var), jnp.asarray(k_v), 30.0))
+    _, wq = _flux_form_matrices(gp)
+    before = np.tensordot(var[0], wq, axes=(-1, 0))
+    after = np.tensordot(out[0], wq, axes=(-1, 0))
+    assert np.allclose(after, before, rtol=1e-12, atol=1e-12)
 
 
 def test_zero_state_stays_zero():
@@ -129,14 +155,10 @@ def test_backward_euler_decay_rate():
     grid = create_grid(gp, jnp.float64)
     p = gp
     nz = p.zDim
-    z0 = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim)
-    d_r0 = z0.dsynth @ (z0.constrain @ z0.analysis)
+    d, wq = _flux_form_matrices(p)
     v = p.vars.index("s")
-    zv = chebyshev.build_ops(nz, p.zmin, p.zmax, p.b_zDim,
-                             p.BCB[v], p.BCT[v])
-    d_bc = zv.dsynth @ (zv.constrain @ zv.analysis)
     K = 200.0
-    L = K * (d_r0 @ d_bc)
+    L = -np.diag(1.0 / wq) @ d.T @ np.diag(wq * K) @ d
     w_eig, vecs = np.linalg.eig(L)
     # pick the most-negative real eigenvalue (fastest-decaying real mode)
     real = np.abs(w_eig.imag) < 1e-8 * np.abs(w_eig).max()
