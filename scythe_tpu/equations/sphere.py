@@ -159,7 +159,9 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     rho_t = rho_d * (1.0 + q_v + q_l)
     mu_fac = td.dmudq(mu_total, q_v)
     rhobar = td.dry_density(rs.xibar[None, None, :, 0]) * (
-        1.0 + td.ahyp(rs.mubar[None, None, :, 0])
+        1.0
+        + td.ahyp(rs.mubar[None, None, :, 0])
+        + td.ahyp(rs.mu_lbar[None, None, :, 0])
     )
     rho_p = rho_t - rhobar
 

@@ -195,6 +195,16 @@ def BF02_test(fields, ctx: EqContext) -> EqResult:
     qvp_x = dx[2] / mu_fac
     qvp_z = dz[2] / mu_fac
     rhobar = td.dry_density(c["xibar0"]) * (1.0 + td.ahyp(c["mubar0"]))
+    if ctx.options.get("exact_vertical_pgf"):
+        # exact-PGF pairing: the BASE liquid loading belongs in the base
+        # density.  Without it a cloudy reference column (mu_lbar > 0)
+        # carries a permanent -g rhobar_d q_lbar body force (measured
+        # 0.19 m/s^2 on the BF02 column; exactly balanced, 2e-15, with
+        # the liquid included) — the faithful form absorbs it into a
+        # static re-adjustment, the exact form must not.
+        rhobar = td.dry_density(c["xibar0"]) * (
+            1.0 + td.ahyp(c["mubar0"]) + td.ahyp(rs.mu_lbar[None, :, 0])
+        )
     rho_p = rho_t - rhobar
     coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
     Ps, Pxi, Pqv = coeffs
@@ -276,6 +286,16 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     qvp_x = dx[2] / mu_fac
     qvp_z = dz[2] / mu_fac
     rhobar = td.dry_density(c["xibar0"]) * (1.0 + td.ahyp(c["mubar0"]))
+    if ctx.options.get("exact_vertical_pgf"):
+        # exact-PGF pairing: the BASE liquid loading belongs in the base
+        # density.  Without it a cloudy reference column (mu_lbar > 0)
+        # carries a permanent -g rhobar_d q_lbar body force (measured
+        # 0.19 m/s^2 on the BF02 column; exactly balanced, 2e-15, with
+        # the liquid included) — the faithful form absorbs it into a
+        # static re-adjustment, the exact form must not.
+        rhobar = td.dry_density(c["xibar0"]) * (
+            1.0 + td.ahyp(c["mubar0"]) + td.ahyp(rs.mu_lbar[None, :, 0])
+        )
     rho_p = rho_t - rhobar
     coeffs = td.pressure_gradient_coeffs(Tk, rho_d, q_v)
     Ps, Pxi, Pqv = coeffs
@@ -401,7 +421,9 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     rho_t = rho_d * (1.0 + q_v + q_l)
     mu_fac = td.dmudq(mu_total, q_v)
     rhobar = td.dry_density(rs.xibar[None, None, :, 0]) * (
-        1.0 + td.ahyp(rs.mubar[None, None, :, 0])
+        1.0
+        + td.ahyp(rs.mubar[None, None, :, 0])
+        + td.ahyp(rs.mu_lbar[None, None, :, 0])
     )
     rho_p = rho_t - rhobar
 
@@ -577,7 +599,9 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     qvp_y = dy[2] / mu_fac
     qvp_z = dz[2] / mu_fac
     rhobar = td.dry_density(rs.xibar[None, None, :, 0]) * (
-        1.0 + td.ahyp(rs.mubar[None, None, :, 0])
+        1.0
+        + td.ahyp(rs.mubar[None, None, :, 0])
+        + td.ahyp(rs.mu_lbar[None, None, :, 0])
     )
     rho_p = rho_t - rhobar
     # shared local PGF coefficients + the exact reference-gradient cross
