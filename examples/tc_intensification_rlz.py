@@ -156,8 +156,12 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
         # ~16x weaker — the filter becomes admissible again (the round-3
         # sweep measures this; tools/tc_sweep.py).
         options["condensation"] = "diagnostic"
-        if cap is not None:
-            options["condensation_rate_cap"] = float(cap)
+    if cap is not None:
+        # with --stable: the diagnostic adjustment's cap; without: the
+        # PROGNOSTIC condensation-rate cap (EqContext.cap_condensation)
+        # — clips the grid-storm heating spikes (measured 0.3 K/s, 10x
+        # physical) while preserving the resolved WISHE heating
+        options["condensation_rate_cap"] = float(cap)
     if filter_tau > 0.0:
         options["modal_filter_tau"] = float(filter_tau)
         options["modal_filter_axes"] = filter_axes
@@ -269,8 +273,8 @@ def main():
                     help="diagnostic condensation (measured 72 h stable; "
                     "see build_model comment for the filter caveats)")
     ap.add_argument("--cap", type=float, default=None,
-                    help="condensation rate cap kg/kg/s (with --stable; "
-                    "default 2e-4)")
+                    help="condensation rate cap kg/kg/s (diagnostic "
+                    "default 2e-4; also caps the prognostic rate)")
     ap.add_argument("--filter-tau", type=float, default=0.0,
                     help="modal filter e-folding time (0 = off)")
     ap.add_argument("--filter-axes", default="l",

@@ -150,6 +150,25 @@ class EqContext:
             return scale * self.ref_state.Pxi_prof
         return scale * self.ref_state.Pxi_bar
 
+    def cap_condensation(self, q_cond):
+        """Optional symmetric cap on the PROGNOSTIC condensation RATE
+        [kg/kg/s] (``options['condensation_rate_cap']`` — the same key
+        the diagnostic scheme's post-step adjustment uses).  The
+        measured grid-storm runaway heats at ~0.3 K/s (L q_cond / cp —
+        10x any physical eyewall); a cap of a few 1e-5 kg/kg/s (~100-300
+        K/h) preserves the resolved WISHE heating while clipping the
+        spectral-ringing spikes that drive the
+        intensifies-then-collapses failure mode (docs/RESULTS.md TC
+        sweeps).  No-op when unset or under diagnostic condensation
+        (which owns the cap in condensation_adjustment)."""
+        if self.options.get("condensation") == "diagnostic":
+            return q_cond
+        cap = self.options.get("condensation_rate_cap")
+        if cap is None:
+            return q_cond
+        cap = float(cap)
+        return jnp.clip(q_cond, -cap, cap)
+
     def sedimentation(self, q_r, rho_d, Tk):
         """Rain terminal velocity.  Default: the reference's always-zero
         clamp quirk (microphysics.sedimentation).  With

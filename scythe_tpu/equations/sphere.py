@@ -235,6 +235,7 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
     raintau = ctx.stiff_rate(mp.rain_evaporation(q_r, rho_d, Tk, p))
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
+    q_cond = ctx.cap_condensation(q_cond)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
     q_evap = -qss * raintau
     if ctx.options.get("condensation") == "diagnostic":

@@ -271,6 +271,7 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     """Full warm-rain benchmark (ref testModels.jl:387-585).
     Vars: s xi mu u w mu_c mu_r qss."""
     K = ctx.p("K")
+    rs = ctx.ref_state
     c = _euler_core(fields, ctx, 3)
     dx, dxx, dz, dzz = c["dx"], c["dxx"], c["dz"], c["dzz"]
     u, w = c["u"], c["w"]
@@ -309,6 +310,7 @@ def rainfall_test(fields, ctx: EqContext) -> EqResult:
     cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
     raintau = ctx.stiff_rate(mp.rain_evaporation(q_r, rho_d, Tk, p))
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
+    q_cond = ctx.cap_condensation(q_cond)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
     q_evap = -qss * raintau
     if ctx.options.get("condensation") == "diagnostic":
@@ -496,6 +498,7 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
     raintau = ctx.stiff_rate(mp.rain_evaporation(q_r, rho_d, Tk, p))
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
+    q_cond = ctx.cap_condensation(q_cond)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
     q_evap = -qss * raintau
     if ctx.options.get("condensation") == "diagnostic":
@@ -618,6 +621,7 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     cloudtau = ctx.stiff_rate(mp.invtau_condensation(Tk, p, N_c, r_c))
     raintau = ctx.stiff_rate(mp.rain_evaporation(q_r, rho_d, Tk, p))
     q_cond = mp.q_condensation(qss, Tk, p, q_v, q_l, N_c, r_c, invtau=cloudtau)
+    q_cond = ctx.cap_condensation(q_cond)
     s_cond = mp.s_condensation(q_cond, Tk, rho_d, q_v, q_l, p)
     q_evap = -qss * raintau
     if ctx.options.get("condensation") == "diagnostic":
