@@ -186,3 +186,30 @@ def test_zero_vapor_point_survives_float32(tmp_path):
     )
     out = mp.condensation_adjustment(var, None, ctx)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_prognostic_rate_cap():
+    """EqContext.cap_condensation: clips the prognostic condensation
+    RATE symmetrically when options['condensation_rate_cap'] is set,
+    passes through untouched otherwise and under diagnostic
+    condensation (whose post-step adjustment owns the cap)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scythe_tpu.equations.common import EqContext
+
+    rate = jnp.asarray([-3.0e-4, -1.0e-5, 0.0, 2.0e-5, 4.0e-4])
+
+    def ctx_with(options):
+        return EqContext(grid=None, coords={}, params={}, options=options,
+                         ts=1.0, var_index=lambda n: 0)
+
+    out = ctx_with({"condensation_rate_cap": 1.0e-4}).cap_condensation(rate)
+    np.testing.assert_allclose(
+        np.asarray(out), [-1.0e-4, -1.0e-5, 0.0, 2.0e-5, 1.0e-4]
+    )
+    out = ctx_with({}).cap_condensation(rate)
+    assert np.array_equal(np.asarray(out), np.asarray(rate))
+    out = ctx_with({"condensation": "diagnostic",
+                    "condensation_rate_cap": 1.0e-4}).cap_condensation(rate)
+    assert np.array_equal(np.asarray(out), np.asarray(rate))
