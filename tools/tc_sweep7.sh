@@ -23,5 +23,4 @@ run() {
 
 run m85_r5_diag2e-5_ivd_bub2   --cells 100 --stable --cap 2e-5 --smag 0.20 --ivd --bubble 2.0
 run m85_r5_diag5e-5_ivd_bub2   --cells 100 --stable --cap 5e-5 --smag 0.20 --ivd --bubble 2.0
-run m85_r10_diag5e-5_ivd_bub2  --cells 50  --stable --cap 5e-5 --smag 0.20 --ivd --bubble 2.0
 echo "SWEEP7 COMPLETE $(date +%H:%M:%S)"
