@@ -263,3 +263,38 @@ def test_rejects_unsupported_equation_set(tmp_path):
     ctx = build_context(model, grid, jnp.float64)
     with pytest.raises(ValueError, match="implicit_vdiff"):
         build_step(model, grid, ctx, jnp.float64)
+
+
+def test_kv_separate_vertical_diffusivity(tmp_path):
+    """physical_params['K_v']: K_v = 0 must remove vertical diffusion
+    (a z-structured anomaly persists) while K_v = K reproduces the
+    isotropic default bitwise."""
+    import dataclasses
+
+    from scythe_tpu.io import read_physical_grid
+
+    K = 2.0e3
+    outs = {}
+    for kv in (None, K, 0.0):
+        model = _model(tmp_path, ts=0.5, K=K, extra_opts={})
+        if kv is not None:
+            model = dataclasses.replace(
+                model, physical_params={**model.phys(), "K_v": kv}
+            )
+        grid = create_grid(model.grid_params, jnp.float64)
+        ctx = build_context(model, grid, jnp.float64)
+        sh = grid.spatial_shape
+        z = grid.gridpoints()[:, 2].reshape(sh)
+        phys0 = np.zeros((grid.nvars,) + sh)
+        phys0[0] = 1.0 * np.exp(-(((z - 5000.0) / 1200.0) ** 2))
+        spec0 = grid.analysis(jnp.asarray(phys0))
+        state = ti.initial_state(spec0, (grid.nvars,) + sh, jnp.float64)
+        step = build_step(model, grid, ctx, jnp.float64)
+        state = make_scan(step, 40)(state)
+        outs[kv] = np.asarray(grid.synthesis(state.spec)["val"])
+    # K_v = K == isotropic default, bitwise
+    assert np.array_equal(outs[None], outs[K])
+    # K_v = 0 keeps more of the vertical anomaly's structure than K_v = K
+    amp_iso = np.abs(outs[K][0]).max()
+    amp_kv0 = np.abs(outs[0.0][0]).max()
+    assert np.isfinite(amp_kv0) and amp_kv0 > amp_iso * 1.02
