@@ -8,6 +8,12 @@ while ! grep -q "SWEEP6 COMPLETE" tc_sweep6_driver.log 2>/dev/null; do
   sleep 60
 done
 
+# tunnel-liveness gate: don't burn queue items into a wedged tunnel
+until timeout 120 python /tmp/tunnel_probe.py 2>/dev/null | grep -q alive; do
+  echo "tunnel wedged, waiting $(date +%H:%M:%S)"
+  sleep 120
+done
+
 echo "=== perf baseline start $(date +%H:%M:%S) ==="
 timeout 3600 python tools/profile_moist3d.py 2>&1 | grep -v Platform > perf_moist3d_r3.log
 echo "=== perf baseline done  $(date +%H:%M:%S) ==="
