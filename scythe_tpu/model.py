@@ -372,6 +372,12 @@ def build_step(
             f"{eqset.geometry} grid, got {grid.geometry}"
         )
     opts = ctx.options
+    if opts.get("topography_file") and "hs_grad" not in ctx.extras:
+        raise ValueError(
+            "options['topography_file'] is set but ctx.extras['hs_grad'] is "
+            "missing — the context was built without _set_topography (every "
+            "initializer must call it, or the mountain is silently dropped)"
+        )
     p = grid.params
     semiimplicit = bool(opts.get("semiimplicit"))
     needs_condensation = model.equation_set in (

@@ -139,15 +139,16 @@ def _local_extras(extras: dict, idx, rows: int, rDim: int) -> dict:
     """Slice radially-shaped auxiliary fields (e.g. the sponge reference
     state [nvars, rDim, ...]) to this shard's rows.  Any array whose
     axis 1 spans the full radial mish dimension is sliced — the mechanism
-    covers future extras entries, not just the sponge."""
+    covers future extras entries, not just the sponge.  Arrays whose
+    leading axis spans rDim (e.g. the filtered topography field
+    [rDim, nl]) are sliced on axis 0 instead; axis 1 wins when both
+    match (the [nvars, rDim, ...] reference-state layout)."""
     out = {}
     for key, val in extras.items():
-        if (
-            hasattr(val, "ndim")
-            and val.ndim >= 2
-            and val.shape[1] == rDim
-        ):
+        if hasattr(val, "ndim") and val.ndim >= 2 and val.shape[1] == rDim:
             val = jax.lax.dynamic_slice_in_dim(val, idx * rows, rows, axis=1)
+        elif hasattr(val, "ndim") and val.ndim >= 1 and val.shape[0] == rDim:
+            val = jax.lax.dynamic_slice_in_dim(val, idx * rows, rows, axis=0)
         out[key] = val
     return out
 
@@ -530,9 +531,10 @@ def initialize_sharded(model, mesh: Mesh, dtype=None, method="psum", matmul="aut
     ctx = build_context(model, grid, dtype)
     phys0 = sio.read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
-    from ..model import _set_boundary_refs
+    from ..model import _set_boundary_refs, _set_topography
 
     _set_boundary_refs(ctx, grid, spec0)
+    _set_topography(ctx, grid)
     if method == "halo":
         spec0 = spec_to_blocks(spec0, n, grid.params.num_cells // n)
     state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)

@@ -412,3 +412,80 @@ def test_modal_filter_periodic_seam_uniform():
     out_s = np.asarray(grid.synthesis(filt(spec_s))["val"])[0]
     # shifting by one cell = rolling the mish points by mubar (3)
     np.testing.assert_allclose(np.roll(out, 3), out_s, rtol=1e-10, atol=1e-12)
+
+
+def _williamson5_setup(tmp_path):
+    """Williamson case 5 (flow over a mountain) via the file-driven
+    topography path — the config whose mountain a sharded run used to
+    silently drop (initialize_sharded never called _set_topography)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "williamson_example",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "williamson_sphere.py"
+        ),
+    )
+    wm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wm)
+
+    model = wm.build_model(ts=200.0, t_end=2000.0).with_(
+        initial_conditions=str(tmp_path / "ics.csv"),
+        output_dir=str(tmp_path / "out"),
+        options={"topography_file": str(tmp_path / "topo.csv")},
+    )
+    grid = create_grid(model.grid_params, jnp.float64)
+    pts = grid.gridpoints()
+    phi = pts[:, 0].reshape(grid.spatial_shape)
+    lam = pts[:, 1].reshape(grid.spatial_shape)
+    h5, u5, v5, hs = wm.w5_fields(phi, lam)
+    with open(model.initial_conditions, "w") as f:
+        f.write("lat,lon,h,u,v\n")
+        for a, b, c, d, e in zip(
+            pts[:, 0], pts[:, 1], h5.ravel(), u5.ravel(), v5.ravel()
+        ):
+            f.write(f"{a},{b},{c},{d},{e}\n")
+    with open(tmp_path / "topo.csv", "w") as f:
+        f.write("lat,lon,hs\n")
+        for a, b, c in zip(pts[:, 0], pts[:, 1], hs.ravel()):
+            f.write(f"{a},{b},{c}\n")
+    return model
+
+
+@pytest.mark.parametrize("method", ["psum", "halo", "halo-pcr"])
+def test_sharded_topography_matches_single(tmp_path, method):
+    """Sharded Williamson-5: the mountain must survive initialize_sharded
+    (hs_grad present and correctly sliced per shard) and the sharded run
+    must match the single-device run to 1e-12."""
+    model = _williamson5_setup(tmp_path)
+    n_steps = 10
+    method, interface = (
+        ("halo", "pcr") if method == "halo-pcr" else (method, "gather")
+    )
+
+    grid, ctx, state = initialize(model)
+    assert "hs_grad" in ctx.extras
+    step = build_step(model, grid, ctx, jnp.float64)
+    ref = make_scan(step, n_steps)(state)
+
+    mesh = sh.make_mesh(8)
+    grid2, ctx2, state2 = sh.initialize_sharded(model, mesh, method=method)
+    assert "hs_grad" in ctx2.extras  # the round-3 silent-drop regression
+    sstep = sh.build_sharded_step(
+        model, grid2, ctx2, jnp.float64, mesh, method, interface
+    )
+    out = make_scan(sstep, n_steps)(state2)
+
+    spec = np.asarray(out.spec)
+    if method == "halo":
+        spec = np.asarray(
+            sh.blocks_to_spec(out.spec, 8, grid.params.num_cells // 8)
+        )
+    # h is O(5e3) m here, so the 1e-12 absolute floor used by the
+    # perturbation-scale setups sits below f64 reduction-order noise;
+    # scale it by the field magnitude (~5e-9 abs == 1e-12 relative).
+    scale = np.abs(np.asarray(ref.spec)).max()
+    np.testing.assert_allclose(
+        spec, np.asarray(ref.spec), rtol=1e-10, atol=1e-12 * scale
+    )
