@@ -240,14 +240,20 @@ def build_surface_fluxes(grid: Grid, ctx: EqContext, cfg: dict, dtype):
     wz = wz / trapz(wz, z)  # [1/m], unit column integral on model levels
     wz = jnp.asarray(wz, dtype)
 
-    sbar0 = float(rs.sbar[0, 0])
-    xibar0 = float(rs.xibar[0, 0])
-    mubar0 = float(rs.mubar[0, 0])
-    _, rho0, _, p0 = (
-        float(x) for x in td.thermodynamic_tuple(sbar0, xibar0, mubar0)
-    )
-    q_star = float(td.q_sat_liquid(jnp.asarray(sst), p0))
-    s_star = float(td.entropy(jnp.asarray(sst), rho0, q_star))
+    # setup-time scalars from the (concrete) reference state.  This
+    # builder also runs INSIDE the sharded step's shard_map trace, where
+    # any jnp op — even on closed-over constants — is staged into a
+    # tracer; host-read the arrays and force eager evaluation of the
+    # thermodynamic closures so the scalars stay concrete.
+    with jax.ensure_compile_time_eval():
+        sbar0 = float(np.asarray(rs.sbar)[0, 0])
+        xibar0 = float(np.asarray(rs.xibar)[0, 0])
+        mubar0 = float(np.asarray(rs.mubar)[0, 0])
+        _, rho0, _, p0 = (
+            float(x) for x in td.thermodynamic_tuple(sbar0, xibar0, mubar0)
+        )
+        q_star = float(td.q_sat_liquid(jnp.asarray(sst), p0))
+        s_star = float(td.entropy(jnp.asarray(sst), rho0, q_star))
 
     i_s, i_mu, i_u = vi("s"), vi("mu"), vi("u")
     i_v = vi("v") if "v" in p.vars else None
