@@ -116,7 +116,8 @@ def initial_vortex(r, z, vmax=12.0, rm=82.5e3):
 
 def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
                 fluxes=True, stable=False, cap=None, filter_tau=0.0,
-                filter_axes="l", rh=0.7, qv0=16.0, smag=0.0, ivd=False):
+                filter_axes="l", rh=0.7, qv0=16.0, smag=0.0, ivd=False,
+                cond_tau=0.0):
     from scythe_tpu import BC, ZBC, GridParameters, ModelParameters
 
     os.makedirs(out_dir, exist_ok=True)
@@ -156,6 +157,11 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
         # ~16x weaker — the filter becomes admissible again (the round-3
         # sweep measures this; tools/tc_sweep.py).
         options["condensation"] = "diagnostic"
+    if cond_tau > 0.0:
+        # finite condensation-adjustment timescale: de-impulses the
+        # saturation onset (the measured ringing-adjustment resonance;
+        # scythe_tpu/physics/microphysics.py condensation_adjustment)
+        options["condensation_tau"] = float(cond_tau)
     if cap is not None:
         # with --stable: the diagnostic adjustment's cap; without: the
         # PROGNOSTIC condensation-rate cap (EqContext.cap_condensation)
@@ -196,7 +202,7 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
     )
 
 
-def write_ics(model, grid, ref_state, bubble=0.0):
+def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0):
     """Vortex in approximate gradient balance: xi' = p'/P_xi with
     dp'/dr = rho_bar (f v + v^2/r) integrated inward from the outer
     boundary (linearized about the reference column).
@@ -211,7 +217,7 @@ def write_ics(model, grid, ref_state, bubble=0.0):
     shape = grid.spatial_shape
     r = pts[:, 0].reshape(shape)
     z = pts[:, 2].reshape(shape)
-    v0 = initial_vortex(r, z)
+    v0 = initial_vortex(r, z, vmax=vmax)
 
     rs = ref_state
     q_v, rho_d, Tk, p = (np.asarray(a) for a in td.thermodynamic_tuple(
@@ -230,13 +236,24 @@ def write_ics(model, grid, ref_state, bubble=0.0):
     dp[:-1, :] = -np.cumsum(seg[::-1, :], axis=0)[::-1, :]
     xi_p = dp / pxi[None, :]
 
-    # optional warm-bubble trigger: ds ~ c_pd * dtheta / theta_bar
+    # optional warm+moist bubble trigger: ds ~ c_pd * dtheta / theta_bar
+    # plus a vapor anomaly toward saturation inside the bubble (a dry warm
+    # bubble in an RH ~0.83 environment LOWERS its own relative humidity;
+    # the round-4 bubble run needed 34 h of surface fluxes before any
+    # saturation — standard convective initiation moistens the trigger)
     s_pert = np.zeros(shape)
+    mu_pert = np.zeros(shape)
     if bubble > 0.0:
         rad = np.sqrt(((r - 60.0e3) / 30.0e3) ** 2
                       + ((z - 1500.0) / 1500.0) ** 2)
-        s_pert = (1004.0 * bubble / 300.0) * np.maximum(
+        env = np.maximum(
             0.0, np.cos(0.5 * np.pi * np.minimum(rad, 1.0))) ** 2
+        s_pert = (1004.0 * bubble / 300.0) * env
+        q_sat_bar = np.asarray(td.q_sat_liquid(Tk, p))  # [nz]
+        q_bub = q_v[None, None, :] + 0.95 * env * (
+            q_sat_bar[None, None, :] - q_v[None, None, :])
+        mu_pert = np.asarray(td.bhyp(np.maximum(q_bub, q_v[None, None, :]))
+                             ) - np.asarray(td.bhyp(q_v))[None, None, :]
 
     names = list(model.grid_params.vars)
     with open(model.initial_conditions, "w") as f:
@@ -244,9 +261,11 @@ def write_ics(model, grid, ref_state, bubble=0.0):
         lam = pts[:, 1]
         v_flat = v0.ravel()
         s_flat = s_pert.ravel()
+        mu_flat = mu_pert.ravel()
         xi_flat = np.broadcast_to(xi_p[:, None, :], shape).ravel()
         for i in range(pts.shape[0]):
-            vals = {"v": v_flat[i], "xi": xi_flat[i], "s": s_flat[i]}
+            vals = {"v": v_flat[i], "xi": xi_flat[i], "s": s_flat[i],
+                    "mu": mu_flat[i]}
             f.write(
                 f"{pts[i,0]},{lam[i]},{pts[i,2]},"
                 + ",".join(str(vals.get(n, 0.0)) for n in names) + "\n"
@@ -286,7 +305,13 @@ def main():
     ap.add_argument("--qv0", type=float, default=16.0,
                     help="surface vapor mixing ratio g/kg before RH cap")
     ap.add_argument("--bubble", type=float, default=0.0,
-                    help="warm-bubble trigger amplitude (K theta-equiv)")
+                    help="warm+moist bubble trigger amplitude (K "
+                    "theta-equiv; also moistens the bubble to ~RH 0.95)")
+    ap.add_argument("--cond-tau", type=float, default=0.0,
+                    help="diagnostic condensation adjustment timescale s "
+                    "(0 = per-step full adjustment)")
+    ap.add_argument("--vmax", type=float, default=12.0,
+                    help="initial vortex maximum wind (m/s)")
     ap.add_argument("--smag", type=float, default=0.0,
                     help="Smagorinsky Cs (0.18-0.25 classic; 0 = off)")
     ap.add_argument("--ivd", action="store_true",
@@ -317,11 +342,13 @@ def main():
                        fluxes=not args.no_fluxes, stable=args.stable,
                        cap=args.cap, filter_tau=args.filter_tau,
                        filter_axes=args.filter_axes, rh=args.rh,
-                       qv0=args.qv0, smag=args.smag, ivd=args.ivd)
+                       qv0=args.qv0, smag=args.smag, ivd=args.ivd,
+                       cond_tau=args.cond_tau)
     dtype = default_dtype()
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
-    write_ics(model, grid, ctx.ref_state, bubble=args.bubble)
+    write_ics(model, grid, ctx.ref_state, bubble=args.bubble,
+              vmax=args.vmax)
     phys0 = read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     # sponge reference = filtered initial state (far field)

@@ -122,6 +122,7 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype,
 
     br = p.b_rDim
     F_r = None
+    F_rk = None
     if "r" in axes:
         fs = []
         for v in range(p.nvars):
@@ -164,6 +165,34 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype,
             core = (vec * np.exp(-a * np.clip(lam / lmax, 0.0, None))) @ vec.T
             fs.append(q @ core @ q.T)
         F_r = prep(np.stack(fs))
+        # Ring-masked form for polar / spherical grids: the plain F_r
+        # mixes radial (latitude) coefficients at FIXED zonal wavenumber
+        # k, which spreads mid-domain k-content into pole rings whose
+        # circumference cannot support it — the analysis ring mask is
+        # bypassed because it lives in (r_physical, k) space.  Measured
+        # consequence (round 4, tools/jw06_filter_probe.py): on the SLZ
+        # JW06 run the filtered STEADY state blows up at the pole rings
+        # within 6 h (v 3 -> 24 m/s at lat 89.4) while the 'l'-only
+        # filter is quiet.  Fix: per zonal wavenumber, synthesize the
+        # filtered radial coefficients to physical latitude, re-apply
+        # that ring's mask, and re-analyze — F̃[v,k] = A_v M_k S F_r[v],
+        # a precomputed [nvars, kDim, b_r, b_r] batched matmul.  Only
+        # needed when the mask is r-DEPENDENT (uniform dealias masks
+        # commute with the latitude mixing).
+        if grid.ring_mask is not None:
+            mask = np.asarray(grid.ring_mask, np.float64)
+            if not np.allclose(mask, mask[0][None, :]):
+                fk = np.empty((p.nvars, mask.shape[1], br, br))
+                for v in range(p.nvars):
+                    ops = bspline.build_ops(
+                        p.xmin, p.xmax, p.num_cells, p.BCL[v], p.BCR[v], p.l_q
+                    )
+                    sf = ops.synth[0] @ fs[v]  # [rDim, b_r]
+                    fk[v] = np.einsum(
+                        "br,rk,rc->kbc", ops.analysis, mask, sf, optimize=True
+                    )
+                F_rk = prep(fk)
+                F_r = None
 
     f_l = f_z = None
     if g in ("RL", "RLZ") and "l" in axes:
@@ -183,6 +212,11 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype,
         out = spec
         if F_r is not None:
             out = grid._mm("vab,vb...->va...", F_r, out)
+        elif F_rk is not None:
+            if g == "RL":
+                out = grid._mm("vkab,vbk->vak", F_rk, out)
+            else:  # RLZ-structured (incl. SLZ)
+                out = grid._mm("vkab,vbkK->vakK", F_rk, out)
         if g == "RL" and f_l is not None:
             out = out * f_l[None, None, :]
         elif g == "RZ" and f_z is not None:

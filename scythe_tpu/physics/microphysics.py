@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import thermodynamics as td
 
@@ -241,6 +242,19 @@ def condensation_adjustment(var_np1, impdot_n, ctx):
         tau_r = 1.0
         cap = float(ctx.options.get("condensation_rate_cap", 2.0e-4)) * ctx.ts
         q_cond = (q_v - q_sat) / (1.0 + Q_s)
+        # options['condensation_tau'] (s, 0 = off): finite adjustment
+        # timescale — remove only 1-exp(-ts/tau) of the supersaturation
+        # per step instead of all of it.  The per-step FULL adjustment is
+        # an impulsive point source whose spectral re-projection rings
+        # and re-fires neighboring points (the measured saturation-onset
+        # ringing-adjustment resonance, docs/RESULTS.md round 3 / the
+        # round-4 bubble run's h36 death); a droplet-growth-scale tau
+        # (~60-120 s) keeps each increment small against the acoustic
+        # ts while the integrated rate still bounds supersaturation the
+        # way the prognostic-qss scheme's relaxation does.
+        tau_c = float(ctx.options.get("condensation_tau", 0.0) or 0.0)
+        if tau_c > 0.0:
+            q_cond = q_cond * (1.0 - float(np.exp(-ctx.ts / tau_c)))
         q_cond = jnp.clip(q_cond, -cap, cap)
     else:
         tau_r = 0.25
