@@ -201,6 +201,20 @@ def rlz_transform_bench(device, dtype, reps=3, ns=(64, 256)):
         # bandwidth-bound workload — BASELINE.md gate)
         peak_bw = _PEAK_HBM.get(kind, None)
         hbm_frac = (hbm_bytes / dt / peak_bw) if (peak_bw and hbm_bytes) else None
+        # The cost-analysis byte count is an UPPER envelope: it counts
+        # logical operand bytes, including accesses fusion keeps in
+        # VMEM/registers (round-4 measurement: 2.94x the physical peak —
+        # impossible as real traffic, so it cannot gate a roofline).
+        # Floor bound from the tensors the dataflow must materialize at
+        # least once: the 7 synthesis slot tensors + the val tensor
+        # re-read by analysis + spec in/out.  The TRUE traffic sits
+        # between the two; the floor is the gateable number.
+        itemsize = jnp.dtype(dtype).itemsize
+        phys_bytes = grid.num_points * gp.nvars * itemsize
+        min_bytes = (len(grid.field_keys) + 1) * phys_bytes + 2 * int(
+            np.prod(grid.spectral_shape)
+        ) * itemsize
+        hbm_frac_min = (min_bytes / dt / peak_bw) if peak_bw else None
         return dict(
             points=grid.num_points,
             nvars=gp.nvars,
@@ -212,6 +226,7 @@ def rlz_transform_bench(device, dtype, reps=3, ns=(64, 256)):
             hbm_bytes_per_roundtrip=hbm_bytes,
             hbm_gb_per_s=hbm_bytes / dt / 1e9 if hbm_bytes else None,
             hbm_fraction=hbm_frac,
+            hbm_fraction_min=hbm_frac_min,
             dispatch_fixed_ms=round(fixed * 1e3, 2),
             setup_s=round(setup_s, 2),
         )
@@ -565,6 +580,11 @@ def main():
         ),
         "rlz_hbm_fraction": (
             round(rlz["hbm_fraction"], 4) if rlz.get("hbm_fraction") else None
+        ),
+        "rlz_hbm_fraction_min": (
+            round(rlz["hbm_fraction_min"], 4)
+            if rlz.get("hbm_fraction_min")
+            else None
         ),
     }
     if moist:

@@ -95,6 +95,24 @@ def write_output(grid, model, t: float, phys: np.ndarray) -> str:
     return path
 
 
+def write_spectral(grid, model, t: float, spec) -> str:
+    """Write ``spectral_out_<t>.csv``: flattened coefficient index +
+    one column per variable (the reference's write_grid also exports the
+    spectral state, src/io.jl:11 -> Springsteel write_grid; notebooks
+    only consume the physical CSV, so a flat-index schema suffices for
+    interchange/restart tooling).  Opt-in via
+    ``options['write_spectral']``."""
+    os.makedirs(model.output_dir, exist_ok=True)
+    time = str(round(float(t), 2))
+    path = os.path.join(model.output_dir, f"spectral_out_{time}.csv")
+    arr = np.asarray(spec, np.float64).reshape(grid.nvars, -1)
+    idx = np.arange(arr.shape[1], dtype=np.float64).reshape(-1, 1)
+    cols = np.concatenate([idx] + [arr[v].reshape(-1, 1)
+                                   for v in range(grid.nvars)], axis=1)
+    _write_csv(path, ["coeff"] + list(grid.params.vars), cols)
+    return path
+
+
 _CF_COORDS = {
     "r": ("radius", "m"),
     "l": ("azimuth", "radian"),

@@ -821,10 +821,13 @@ def run_loop(
     ckpt_interval = ctx.options.get("checkpoint_interval", 0.0)
     ckpt_int = int(round(ckpt_interval / model.ts)) if ckpt_interval else 0
 
+    write_spec = bool(ctx.options.get("write_spectral"))
     phys = fetch_phys(state)
     if write_outputs and not resume_from:
         sio.check_cfl(grid, phys)
         sio.write_output(grid, model, t_sim0, phys)
+        if write_spec:
+            sio.write_spectral(grid, model, t_sim0, canonical_spec(state))
     log.info("Setup in %.2fs; starting integration", _time.time() - t_setup)
 
     t_run = _time.time()
@@ -842,6 +845,8 @@ def run_loop(
         sio.check_cfl(grid, phys)
         if write_outputs:
             sio.write_output(grid, model, t_sim, phys)
+            if write_spec:
+                sio.write_spectral(grid, model, t_sim, canonical_spec(state))
         if ckpt_int and steps_done % ckpt_int == 0:
             ckpt_state = canonical(state)
             if primary:

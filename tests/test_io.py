@@ -129,3 +129,31 @@ def test_netcdf_missing_variable_errors(tmp_path):
         f.createDimension("r", 12)
     with pytest.raises(ValueError, match="missing variable"):
         sio.read_physical_grid(path, grid)
+
+
+def test_write_spectral(tmp_path):
+    """options['write_spectral'] emits spectral_out_<t>.csv whose columns
+    reproduce the coefficient state bitwise (the reference's write_grid
+    also exports spectral state, src/io.jl:11)."""
+    import jax.numpy as jnp
+
+    from scythe_tpu import BC, GridParameters, ModelParameters, create_grid
+
+    gp = GridParameters(
+        geometry="R", xmin=0.0, xmax=10.0, num_cells=8,
+        BCL={"u": BC.PERIODIC}, BCR={"u": BC.PERIODIC}, vars={"u": 1},
+    )
+    model = ModelParameters(
+        ts=0.1, integration_time=1.0, output_interval=1.0,
+        equation_set="LinearAdvection1D",
+        initial_conditions="unused", output_dir=str(tmp_path),
+        grid_params=gp, physical_params={"c_0": 1.0, "K": 0.0},
+        options={"write_spectral": True},
+    )
+    grid = create_grid(gp, jnp.float64)
+    r = np.asarray(grid.r_mish)
+    spec = grid.analysis(jnp.asarray(np.sin(2 * np.pi * r / 10.0)[None]))
+    path = sio.write_spectral(grid, model, 0.0, spec)
+    names, data = sio._read_csv(path)
+    assert names == ["coeff", "u"]
+    np.testing.assert_array_equal(data[:, 1], np.asarray(spec[0]))

@@ -119,7 +119,17 @@ def golden50(device):
         np.abs(phys[v] - golden[v]).max() / (np.abs(golden[v]).max() + 1e-30)
         for v in range(golden.shape[0])
     ]
-    _done(t0, ok and max(rels) < 3e-2, f"max field rel err {max(rels):.2e}")
+    # TWO-SIDED band (round-4 hardening): the r3 single ceiling at 3e-2
+    # left 6x headroom above the measured 5.48e-3 — enough to absorb a
+    # slow drift toward the folded-bf16 regime (0.1+) before tripping.
+    # The compensated path has now been measured GREEN on device at
+    # 5.48e-3 (tpu_smoke_r4.log); gate a regression band around it:
+    # anything above 2e-2 (3.7x measured) is a compensated-path
+    # regression, anything below 1e-4 means the run silently executed
+    # at a higher precision than the production path (also wrong — the
+    # guard would no longer be testing what production runs).
+    rel = max(rels)
+    _done(t0, ok and 1e-4 < rel < 2e-2, f"max field rel err {rel:.2e}")
 
 
 def moist_f32(device):
