@@ -134,6 +134,33 @@ def main():
     acc = sum(v for k, v in results.items() if k != "eqset total")
     print(f"{'(sum of blocks)':32s} {acc * 1e6:8.1f}")
 
+    # --- scan-vs-chain: the bench (lax.scan of the full step, the real
+    # driver composition) measured 2941 us/step in r4 while the stage
+    # profile's chained step measured 1828 — if the gap reproduces here
+    # it is scan/carry overhead, the single largest moist3d lever.
+    import time as _t
+
+    from scythe_tpu import timeintegration as ti
+    from scythe_tpu.model import build_step, make_scan
+
+    step = build_step(model, grid, ctx, dtype)
+    state0 = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
+
+    def scan_per_step(n):
+        f = make_scan(step, n)
+        out = jax.block_until_ready(f(state0))  # compile+warm
+        best = np.inf
+        for _ in range(4):
+            t0 = _t.time()
+            float(f(state0).spec[0, 0, 0, 0])
+            best = min(best, _t.time() - t0)
+        return best
+
+    t20, t120 = scan_per_step(20), scan_per_step(120)
+    print(f"{'scan-of-step (slope 20->120)':32s} {(t120 - t20) / 100 * 1e6:8.1f}")
+    print(f"{'chained step (profile method)':32s} "
+          f"{chain_time(step, state0) * 1e6:8.1f}")
+
 
 if __name__ == "__main__":
     main()
