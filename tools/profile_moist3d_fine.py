@@ -161,6 +161,34 @@ def main():
     print(f"{'chained step (profile method)':32s} "
           f"{chain_time(step, state0) * 1e6:8.1f}")
 
+    # carry-shape experiment: scan whose carry is ONLY spec (histories
+    # closed over as constants — wrong numerics, right cost shape).  If
+    # this matches the chained step, the gap is history-carry traffic
+    # (copies / layout conversions of the 4 x 16 MB physical histories).
+    def spec_only(n):
+        def body(spec, _):
+            st = ti.ModelState(spec, state0.expdot_nm1, state0.expdot_nm2,
+                               state0.impdot_nm1, state0.impdot_nm2,
+                               state0.t)
+            return step(st).spec, None
+
+        def run(s0):
+            out, _ = jax.lax.scan(body, s0, None, length=n)
+            return out
+
+        f = jax.jit(run)
+        jax.block_until_ready(f(state0.spec))
+        best = np.inf
+        for _ in range(4):
+            t0 = _t.time()
+            float(f(state0.spec)[0, 0, 0, 0])
+            best = min(best, _t.time() - t0)
+        return best
+
+    s20, s120 = spec_only(20), spec_only(120)
+    print(f"{'scan spec-only carry (slope)':32s} "
+          f"{(s120 - s20) / 100 * 1e6:8.1f}")
+
 
 if __name__ == "__main__":
     main()
