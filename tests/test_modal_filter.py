@@ -161,3 +161,49 @@ def test_saturation_formula_guard():
             float(td.sat_pressure_liquid_buck(jnp.asarray(T), 900.0)), raw,
             rtol=1e-14,
         )
+
+
+def test_sl_masked_filter_pole_consistency():
+    """On SL/SLZ grids the 'r' (latitude) filter factor must keep pole
+    rings ring-mask consistent: the unmasked form spreads mid-latitude
+    zonal-wavenumber content into pole rows whose circumference cannot
+    support it (measured device blow-up in 6 h, round 4 —
+    tools/jw06_filter_probe.py).  200 filter applications of a random
+    state must leave the pole row's unsupported wavenumbers at the
+    radial-LSQ residual level, orders below the supported ones."""
+    import jax
+    import numpy as np
+
+    from scythe_tpu import GridParameters, create_grid
+    from scythe_tpu.model import build_modal_filter
+
+    gp = GridParameters(
+        geometry="SL",
+        xmin=-np.pi / 2,
+        xmax=np.pi / 2,
+        num_cells=16,
+        lDim=48,
+        sphere_radius=6.371e6,
+        vars={"h": 1, "u": 2, "v": 3},
+    )
+    grid = create_grid(gp, jnp.float64)
+    filt = jax.jit(build_modal_filter(grid, 60.0, 4, 15.0, jnp.float64,
+                                      axes="rl"))
+    rng = np.random.default_rng(0)
+    phys = rng.standard_normal((grid.nvars,) + grid.spatial_shape)
+    s = grid.analysis(jnp.asarray(phys))
+    n0 = float(jnp.abs(s).max())
+    for _ in range(200):
+        s = filt(s)
+    assert float(jnp.abs(s).max()) < n0  # contractive
+    val = np.asarray(grid.synthesis(s)["val"])
+    mask = np.asarray(grid.ring_mask)
+    pole = val[0, -1, :]
+    hat = np.abs(np.fft.rfft(pole))
+    nsup = int(mask[-1].sum())
+    # supported slots ~ first few wavenumbers; unsupported must sit at
+    # the LSQ-residual floor (measured ~4e-4 of supported on the SLZ
+    # production grid)
+    sup = hat[: max(nsup // 2, 1)].max()
+    unsup = hat[nsup:].max()
+    assert unsup < 1e-2 * (sup + 1e-30), (sup, unsup)
