@@ -202,7 +202,8 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
     )
 
 
-def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0):
+def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0,
+              moist_core=0.0):
     """Vortex in approximate gradient balance: xi' = p'/P_xi with
     dp'/dr = rho_bar (f v + v^2/r) integrated inward from the outer
     boundary (linearized about the reference column).
@@ -236,6 +237,24 @@ def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0):
     dp[:-1, :] = -np.cumsum(seg[::-1, :], axis=0)[::-1, :]
     xi_p = dp / pxi[None, :]
 
+    # optional moist-envelope core (standard axisymmetric-TC
+    # initialization practice, e.g. Rotunno & Emanuel 1987 follow-ons /
+    # Nolan's idealized studies): raise RH toward ``moist_core`` inside
+    # (r < 120 km, z < 6 km) with smooth cos^2 edges, so the eyewall
+    # region can sustain convection instead of waiting ~1 day of
+    # surface fluxes for the first saturated column (sweep-8 forensics:
+    # cells fire but the column dries back and the vortex spins down)
+    mu_core = np.zeros(shape)
+    if moist_core > 0.0:
+        q_sat_bar = np.asarray(td.q_sat_liquid(Tk, p))  # [nz]
+        envr = np.cos(0.5 * np.pi * np.minimum(r / 120.0e3, 1.0)) ** 2
+        envz = np.cos(0.5 * np.pi * np.minimum(z / 6000.0, 1.0)) ** 2
+        frac = moist_core * envr * envz
+        q_tgt = q_v[None, None, :] + np.maximum(
+            0.0, frac * (q_sat_bar[None, None, :] - q_v[None, None, :]))
+        mu_core = (np.asarray(td.bhyp(q_tgt))
+                   - np.asarray(td.bhyp(q_v))[None, None, :])
+
     # optional warm+moist bubble trigger: ds ~ c_pd * dtheta / theta_bar
     # plus a vapor anomaly toward saturation inside the bubble (a dry warm
     # bubble in an RH ~0.83 environment LOWERS its own relative humidity;
@@ -261,7 +280,7 @@ def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0):
         lam = pts[:, 1]
         v_flat = v0.ravel()
         s_flat = s_pert.ravel()
-        mu_flat = mu_pert.ravel()
+        mu_flat = (mu_pert + mu_core).ravel()
         xi_flat = np.broadcast_to(xi_p[:, None, :], shape).ravel()
         for i in range(pts.shape[0]):
             vals = {"v": v_flat[i], "xi": xi_flat[i], "s": s_flat[i],
@@ -312,6 +331,9 @@ def main():
                     "(0 = per-step full adjustment)")
     ap.add_argument("--vmax", type=float, default=12.0,
                     help="initial vortex maximum wind (m/s)")
+    ap.add_argument("--moist-core", type=float, default=0.0,
+                    help="raise core RH toward this fraction of "
+                    "saturation inside (r<120 km, z<6 km), smooth edges")
     ap.add_argument("--smag", type=float, default=0.0,
                     help="Smagorinsky Cs (0.18-0.25 classic; 0 = off)")
     ap.add_argument("--ivd", action="store_true",
@@ -348,7 +370,7 @@ def main():
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
     write_ics(model, grid, ctx.ref_state, bubble=args.bubble,
-              vmax=args.vmax)
+              vmax=args.vmax, moist_core=args.moist_core)
     phys0 = read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     # sponge reference = filtered initial state (far field)
