@@ -245,6 +245,7 @@ def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0,
     # surface fluxes for the first saturated column (sweep-8 forensics:
     # cells fire but the column dries back and the vortex spins down)
     mu_core = np.zeros(shape)
+    s_core = np.zeros(shape)
     if moist_core > 0.0:
         q_sat_bar = np.asarray(td.q_sat_liquid(Tk, p))  # [nz]
         envr = np.cos(0.5 * np.pi * np.minimum(r / 120.0e3, 1.0)) ** 2
@@ -254,6 +255,14 @@ def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0,
             0.0, frac * (q_sat_bar[None, None, :] - q_v[None, None, :]))
         mu_core = (np.asarray(td.bhyp(q_tgt))
                    - np.asarray(td.bhyp(q_v))[None, None, :])
+        # moisten at FIXED temperature: entropy carries L_v q/T, so
+        # raising q_v at fixed s drops T ~10 K per 4 g/kg and the
+        # "moist" core lands at RH ~2-4 (measured) — co-adjust s so the
+        # core keeps the reference temperature (a higher-theta_e moist
+        # envelope, which is exactly the physical intent)
+        s_core = np.asarray(
+            td.entropy(Tk[None, None, :], rho_d[None, None, :], q_tgt)
+        ) - np.asarray(td.entropy(Tk, rho_d, q_v))[None, None, :]
 
     # optional warm+moist bubble trigger: ds ~ c_pd * dtheta / theta_bar
     # plus a vapor anomaly toward saturation inside the bubble (a dry warm
@@ -279,7 +288,7 @@ def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0,
         f.write("r,l,z," + ",".join(names) + "\n")
         lam = pts[:, 1]
         v_flat = v0.ravel()
-        s_flat = s_pert.ravel()
+        s_flat = (s_pert + s_core).ravel()
         mu_flat = (mu_pert + mu_core).ravel()
         xi_flat = np.broadcast_to(xi_p[:, None, :], shape).ravel()
         for i in range(pts.shape[0]):
@@ -291,14 +300,37 @@ def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0,
             )
 
 
-def intensity(grid, phys):
-    v = phys[4].reshape(grid.spatial_shape)
-    w = phys[5].reshape(grid.spatial_shape)
-    qr = phys[7].reshape(grid.spatial_shape)
+def intensity(grid, phys, ref_state=None):
+    """(vmax, r_vmax km, w_max, qr_max, qc_max g/kg, RH_max below ~8 km,
+    u_min = strongest BL inflow).  The moisture/RH columns diagnose WHY
+    cells live or die (sweep-8 forensics need them in every log)."""
+    from scythe_tpu.physics import thermodynamics as td
+
+    sh = grid.spatial_shape
+    v = phys[4].reshape(sh)
+    w = phys[5].reshape(sh)
+    qr = phys[7].reshape(sh)
+    qc = phys[6].reshape(sh)
     vmax = float(v.max())
-    r_at = grid.gridpoints()[:, 0].reshape(grid.spatial_shape)
+    r_at = grid.gridpoints()[:, 0].reshape(sh)
     j = np.unravel_index(v.argmax(), v.shape)
-    return vmax, float(r_at[j]) / 1000.0, float(w.max()), float(np.maximum(qr, 0).max())
+    rh_max = float("nan")
+    if ref_state is not None:
+        rs = ref_state
+        s_t = phys[0].reshape(sh) + np.asarray(rs.sbar[:, 0])[None, None, :]
+        xi_t = phys[1].reshape(sh) + np.asarray(rs.xibar[:, 0])[None, None, :]
+        mu_t = phys[2].reshape(sh) + np.asarray(rs.mubar[:, 0])[None, None, :]
+        q_v, _, Tk, pp = (np.asarray(a) for a in
+                          td.thermodynamic_tuple(s_t, xi_t, mu_t))
+        qs = np.asarray(td.q_sat_liquid(Tk, pp))
+        z = np.asarray(grid.z_mish)
+        low = z < 8000.0
+        rh_max = float((q_v[..., low] / qs[..., low]).max())
+    u_min = float(phys[3].reshape(sh)[..., 0].min())
+    return (vmax, float(r_at[j]) / 1000.0, float(w.max()),
+            float(np.maximum(qr, 0).max()),
+            float(np.maximum(np.asarray(td.ahyp(qc)), 0).max()),
+            rh_max, u_min)
 
 
 def main():
@@ -380,10 +412,12 @@ def main():
     per = int(round(2.0 * 3600.0 / model.ts))
     chunk = _pick_chunk(per)
     scan = make_scan(step, chunk)
-    print("hour  vmax(m/s)  r_vmax(km)  w_max   qr_max(g/kg)")
+    print("hour  vmax(m/s)  r_vmax(km)  w_max   qr_max  qc_max"
+          "  rh_max  u_sfc_min")
     phys = np.asarray(grid.synthesis(state.spec)["val"])
-    vm, rm, wm, qm = intensity(grid, phys)
-    print(f"{0:5.1f} {vm:9.2f} {rm:10.1f} {wm:7.2f} {qm*1e3:8.2f}", flush=True)
+    vm, rm, wm, qm, qc, rh, um = intensity(grid, phys, ctx.ref_state)
+    print(f"{0:5.1f} {vm:9.2f} {rm:10.1f} {wm:7.2f} {qm*1e3:7.2f} "
+          f"{qc*1e3:7.2f} {rh:7.3f} {um:9.2f}", flush=True)
     hours = 0.0
     while hours < args.hours - 1e-6:
         for _ in range(per // chunk):
@@ -395,9 +429,9 @@ def main():
         if not np.isfinite(phys).all():
             print(f"NONFINITE at hour {hours}")
             break
-        vm, rm, wm, qm = intensity(grid, phys)
-        print(f"{hours:5.1f} {vm:9.2f} {rm:10.1f} {wm:7.2f} {qm*1e3:8.2f}",
-              flush=True)
+        vm, rm, wm, qm, qc, rh, um = intensity(grid, phys, ctx.ref_state)
+        print(f"{hours:5.1f} {vm:9.2f} {rm:10.1f} {wm:7.2f} {qm*1e3:7.2f} "
+              f"{qc*1e3:7.2f} {rh:7.3f} {um:9.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ echo "=== sweep9a moistcore start $(date +%H:%M:%S) ==="
 timeout 10800 python examples/tc_intensification_rlz.py \
   --hours 150 --out /tmp/tc9a --rh 0.85 --qv0 20 --cells 100 \
   --stable --cap 5e-5 --smag 0.20 --ivd --cond-tau 90 \
-  --moist-core 0.9 --vmax 15 2>&1 \
+  --moist-core 0.85 --vmax 15 2>&1 \
   | grep -v Platform > tc_sweep_r4/s9a_mc90_v15_150h.log
 echo "sweep9a rc=$? done $(date +%H:%M:%S)"
 
@@ -26,7 +26,7 @@ echo "=== sweep9b moistcore+bubble start $(date +%H:%M:%S) ==="
 timeout 10800 python examples/tc_intensification_rlz.py \
   --hours 150 --out /tmp/tc9b --rh 0.85 --qv0 20 --cells 100 \
   --stable --cap 5e-5 --smag 0.20 --ivd --cond-tau 90 \
-  --moist-core 0.9 --vmax 15 --bubble 2.0 2>&1 \
+  --moist-core 0.85 --vmax 15 --bubble 2.0 2>&1 \
   | grep -v Platform > tc_sweep_r4/s9b_mc90_v15_bub2_150h.log
 echo "sweep9b rc=$? done $(date +%H:%M:%S)"
 
