@@ -306,6 +306,10 @@ def main():
                     help="modal filter e-folding (s); survives wave "
                     "breaking past day ~8 (0 = off)")
     ap.add_argument("--filter-axes", default="rl")
+    ap.add_argument("--spinup-days", type=int, default=0,
+                    help="integrate unperturbed this many days, then add "
+                    "the JW06 bump to the ADJUSTED base (wave phase is "
+                    "measured against a base the model holds)")
     ap.add_argument("--filter-order", type=int, default=4,
                     help="modal filter falloff order: at order 4 a tau "
                     "strong enough to absorb day-8 front collapse also "
@@ -347,6 +351,34 @@ def main():
 
     per = int(round(86400.0 / model.ts))  # report daily
     chunk = _pick_chunk(per)
+    if args.spinup_days > 0 and not args.steady:
+        # adjustment protocol: integrate the UNPERTURBED state first
+        # (the discrete state slides toward its own balance — polar
+        # surface lows fill ~10 hPa and the jet sheds ~1-3 m/s/day
+        # early; measured round 3/4) and add the JW06 u-bump to the
+        # ADJUSTED base, so wave growth is measured against a base the
+        # model actually holds.
+        base0 = initial_fields(grid, ctx.ref_state, perturb=False)
+        state = ti.initial_state(
+            grid.analysis(jnp.asarray(base0, dtype)),
+            (grid.nvars,) + grid.spatial_shape, dtype,
+        )
+        for d in range(int(args.spinup_days)):
+            for _ in range(per // chunk):
+                state = make_scan(step, chunk)(state)
+            if per % chunk:
+                state = make_scan(step, per % chunk)(state)
+        base = np.asarray(grid.synthesis(state.spec)["val"])
+        if not np.isfinite(base).all():
+            print("NONFINITE during spinup")
+            sys.exit(1)
+        bump = np.asarray(phys0) - np.asarray(base0)  # the u perturbation
+        spec0 = grid.analysis(jnp.asarray(base + bump, dtype))
+        # fresh multistep history on the perturbed state
+        state = ti.initial_state(
+            spec0, (grid.nvars,) + grid.spatial_shape, dtype
+        )
+        phys0 = base + bump
     u0max = float(phys0[3].max())
     print(" day   u_max   |v|_max  ps_min(hPa)  ps_max(hPa)")
     um, vm, pmn, pmx = diagnostics(grid, ctx.ref_state, phys0)
