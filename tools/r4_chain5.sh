@@ -5,7 +5,7 @@
 # transform path (nl > 2048 compile-payload claim).
 set -u
 cd "$(dirname "$0")/.."
-while ! grep -q "SWEEP9 COMPLETE" tc_sweep9_driver.log 2>/dev/null; do
+while ! grep -q "CHAIN4B COMPLETE" r4_chain4b_driver.log 2>/dev/null; do
   sleep 120
 done
 
