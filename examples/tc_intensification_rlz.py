@@ -203,7 +203,7 @@ def build_model(out_dir, num_cells=50, ts=2.0, t_end=48 * 3600.0,
 
 
 def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0,
-              moist_core=0.0):
+              moist_core=0.0, moist_core_depth=6000.0):
     """Vortex in approximate gradient balance: xi' = p'/P_xi with
     dp'/dr = rho_bar (f v + v^2/r) integrated inward from the outer
     boundary (linearized about the reference column).
@@ -249,7 +249,8 @@ def write_ics(model, grid, ref_state, bubble=0.0, vmax=12.0,
     if moist_core > 0.0:
         q_sat_bar = np.asarray(td.q_sat_liquid(Tk, p))  # [nz]
         envr = np.cos(0.5 * np.pi * np.minimum(r / 120.0e3, 1.0)) ** 2
-        envz = np.cos(0.5 * np.pi * np.minimum(z / 6000.0, 1.0)) ** 2
+        envz = np.cos(
+            0.5 * np.pi * np.minimum(z / moist_core_depth, 1.0)) ** 2
         frac = moist_core * envr * envz
         q_tgt = q_v[None, None, :] + np.maximum(
             0.0, frac * (q_sat_bar[None, None, :] - q_v[None, None, :]))
@@ -365,7 +366,9 @@ def main():
                     help="initial vortex maximum wind (m/s)")
     ap.add_argument("--moist-core", type=float, default=0.0,
                     help="raise core RH toward this fraction of "
-                    "saturation inside (r<120 km, z<6 km), smooth edges")
+                    "saturation inside (r<120 km, z<depth), smooth edges")
+    ap.add_argument("--moist-core-depth", type=float, default=6000.0,
+                    help="vertical extent (m) of the moist envelope")
     ap.add_argument("--smag", type=float, default=0.0,
                     help="Smagorinsky Cs (0.18-0.25 classic; 0 = off)")
     ap.add_argument("--ivd", action="store_true",
@@ -402,7 +405,8 @@ def main():
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
     write_ics(model, grid, ctx.ref_state, bubble=args.bubble,
-              vmax=args.vmax, moist_core=args.moist_core)
+              vmax=args.vmax, moist_core=args.moist_core,
+              moist_core_depth=args.moist_core_depth)
     phys0 = read_physical_grid(model.initial_conditions, grid)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     # sponge reference = filtered initial state (far field)
