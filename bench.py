@@ -359,7 +359,8 @@ def ensemble_bench(device, dtype, members=16, ns=(20, 120), reps=3):
         def make_call(n):
             def member(st):
                 out, _ = jax.lax.scan(
-                    lambda s, _: (step(s), None), st, None, length=n
+                    lambda s, _: (step(s), None), st, None, length=n,
+                    unroll=4,
                 )
                 return out
 
