@@ -3,7 +3,7 @@
 # (flagship + moist3d + ensemble recompile), then a last smoke.
 set -u
 cd "$(dirname "$0")/.."
-while ! grep -q "SWEEP10 COMPLETE" tc_sweep10_driver.log 2>/dev/null; do
+while ! grep -q "CHAIN8 COMPLETE" jw06_chain8_driver.log 2>/dev/null; do
   sleep 120
 done
 echo "=== bench (unroll) start $(date +%H:%M:%S) ==="
