@@ -358,10 +358,14 @@ def ensemble_bench(device, dtype, members=16, ns=(20, 120), reps=3):
 
         def make_call(n):
             def member(st):
-                out, _ = jax.lax.scan(
-                    lambda s, _: (step(s), None), st, None, length=n,
-                    unroll=4,
-                )
+                def body4(s, _):
+                    for _ in range(4):
+                        s = step(s)
+                    return s, None
+
+                out, _ = jax.lax.scan(body4, st, None, length=n // 4)
+                for _ in range(n % 4):
+                    out = step(out)
                 return out
 
             run = jax.jit(jax.vmap(member))

@@ -599,25 +599,32 @@ def build_step(
 
 
 def make_scan(step, n_steps: int, unroll: int = 4):
-    """Jitted scan of ``step``.
+    """Jitted scan of ``step``, COMPOSED ``unroll`` steps per scan
+    iteration.
 
-    ``unroll=4`` (default) is a measured 5.2x on the moist 3-D core
-    (2900 -> 558 us/step, tools/probe_scan_carry.py round 4): with the
-    body unrolled, the multistep-history carry shuffle (e_nm2 <- e_nm1
-    pass-throughs of four 16 MB physical tensors) stops forcing
-    per-iteration buffer copies, and XLA fuses across consecutive steps
-    (step n's analysis feeds step n+1's synthesis in compact coefficient
-    space).  Unrolling does not change operation order — trajectories
-    are bitwise identical; the cost is compile time (body x unroll)."""
-    unroll = max(1, min(int(unroll), int(n_steps)))
+    Measured (tools/probe_scan_carry.py, round 4, re-measured after an
+    arithmetic bug in the first probe): composing 4 steps per scan
+    iteration takes the moist 3-D core from 2896 to ~2230 us/step
+    (+24% steps/s; flagship ~+4%) by removing part of the multistep-
+    history carry shuffle (e_nm2 <- e_nm1 pass-throughs of four 16 MB
+    physical tensors).  The histories still dominate what remains: a
+    spec-only-carry control runs at 1459 us/step, so ~770 us/step of
+    carry cost is still on the table (docs/ROADMAP.md).  Composition
+    preserves operation order — trajectories are bitwise identical;
+    the cost is compile time (body x unroll)."""
+    k = max(1, min(int(unroll), int(n_steps)))
 
     def chunk(state):
-        def body(s, _):
-            return step(s), None
+        if n_steps // k:
+            def body(s, _):
+                for _ in range(k):
+                    s = step(s)
+                return s, None
 
-        out, _ = jax.lax.scan(body, state, None, length=n_steps,
-                              unroll=unroll)
-        return out
+            state, _ = jax.lax.scan(body, state, None, length=n_steps // k)
+        for _ in range(n_steps % k):
+            state = step(state)
+        return state
 
     return jax.jit(chunk)
 

@@ -85,16 +85,21 @@ def main():
 
         return make
 
+    # NOTE the slope over ns=(20,120) is already per-STEP for every
+    # mult (make(n) runs n//mult iterations of a mult-step body = n
+    # steps total) — the first version divided by mult AGAIN and
+    # reported a spurious 5.2x for composition; the real effect is
+    # ~-23% (2896 -> 2231 us/step, re-measured).
     e0 = slope(run_scan(step, 1))
     print(f"E0 scan-of-step          {e0 * 1e6:8.1f} us/step")
 
     step2 = lambda s: step(step(s))
-    e1 = slope(run_scan(step2, 2)) / 2.0
-    print(f"E1 scan-of-step^2 (/2)   {e1 * 1e6:8.1f} us/step")
+    e1 = slope(run_scan(step2, 2))
+    print(f"E1 scan-of-step^2        {e1 * 1e6:8.1f} us/step")
 
     step4 = lambda s: step(step(step(step(s))))
-    e14 = slope(run_scan(step4, 4)) / 4.0
-    print(f"E1b scan-of-step^4 (/4)  {e14 * 1e6:8.1f} us/step")
+    e14 = slope(run_scan(step4, 4))
+    print(f"E1b scan-of-step^4       {e14 * 1e6:8.1f} us/step")
 
     # E3: stacked histories — one [4, nvars, ...] carry instead of four
     def pack(st):
