@@ -600,6 +600,14 @@ def main():
         extra["ensemble16_grid_point_steps_per_s"] = round(
             ens["grid_point_steps_per_s"], 1
         )
+        # Aggregate ensemble throughput relative to the single-run rate
+        # measured back-to-back in THIS session (tunnel throughput varies
+        # >15x between sessions, so only a same-session ratio is meaningful).
+        # <1.0 means the vmapped ensemble's value is batched convenience
+        # (one compile/dispatch for N members), not aggregate throughput.
+        extra["ensemble16_aggregate_vs_single"] = round(
+            ens["grid_point_steps_per_s"] / value, 3
+        )
     if scaling:
         extra["scaling_speedup_cpu8"] = scaling
     print(

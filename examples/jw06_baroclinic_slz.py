@@ -351,6 +351,17 @@ def main():
 
     per = int(round(86400.0 / model.ts))  # report daily
     chunk = _pick_chunk(per)
+    # one jitted scan per chunk length, reused across every day/spinup
+    # loop iteration (a make_scan call inside the loop would retrace)
+    scan_chunk = make_scan(step, chunk)
+    scan_rem = make_scan(step, per % chunk) if per % chunk else None
+
+    def run_day(state):
+        for _ in range(per // chunk):
+            state = scan_chunk(state)
+        if scan_rem is not None:
+            state = scan_rem(state)
+        return state
     if args.spinup_days > 0 and not args.steady:
         # adjustment protocol: integrate the UNPERTURBED state first
         # (the discrete state slides toward its own balance — polar
@@ -364,10 +375,7 @@ def main():
             (grid.nvars,) + grid.spatial_shape, dtype,
         )
         for d in range(int(args.spinup_days)):
-            for _ in range(per // chunk):
-                state = make_scan(step, chunk)(state)
-            if per % chunk:
-                state = make_scan(step, per % chunk)(state)
+            state = run_day(state)
         base = np.asarray(grid.synthesis(state.spec)["val"])
         if not np.isfinite(base).all():
             print("NONFINITE during spinup")
@@ -385,10 +393,7 @@ def main():
     print(f"{0:4.0f} {um:7.2f} {vm:8.3f} {pmn:10.2f} {pmx:10.2f}",
           flush=True)
     for day in range(1, int(args.days) + 1):
-        for _ in range(per // chunk):
-            state = make_scan(step, chunk)(state)
-        if per % chunk:
-            state = make_scan(step, per % chunk)(state)
+        state = run_day(state)
         phys = np.asarray(grid.synthesis(state.spec)["val"])
         if not np.isfinite(phys).all():
             print(f"NONFINITE at day {day}")

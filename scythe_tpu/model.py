@@ -178,20 +178,30 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype,
         # that ring's mask, and re-analyze — F̃[v,k] = A_v M_k S F_r[v],
         # a precomputed [nvars, kDim, b_r, b_r] batched matmul.  Only
         # needed when the mask is r-DEPENDENT (uniform dealias masks
-        # commute with the latitude mixing).
+        # commute with the latitude mixing).  Applied FACTORED — synth
+        # (pre-composed with F_r), elementwise mask in (ring, k) space,
+        # re-analysis — rather than precomposing per-k [nvars, kDim,
+        # b_r, b_r] matrices: the composed tensor is multi-GB at build
+        # time on large factored-DFT grids (nl > 2048) while the
+        # factored form stores only 2 x [nvars, rDim, b_r] operators
+        # and costs one extra synthesis/analysis pair per application
+        # (identical linear map: F̃[v,k] = A_v M_k S F_v per k).
         if grid.ring_mask is not None:
             mask = np.asarray(grid.ring_mask, np.float64)
             if not np.allclose(mask, mask[0][None, :]):
-                fk = np.empty((p.nvars, mask.shape[1], br, br))
+                a_ops = []
+                sf_ops = []
                 for v in range(p.nvars):
                     ops = bspline.build_ops(
                         p.xmin, p.xmax, p.num_cells, p.BCL[v], p.BCR[v], p.l_q
                     )
-                    sf = ops.synth[0] @ fs[v]  # [rDim, b_r]
-                    fk[v] = np.einsum(
-                        "br,rk,rc->kbc", ops.analysis, mask, sf, optimize=True
-                    )
-                F_rk = prep(fk)
+                    a_ops.append(ops.analysis)  # [b_r, rDim]
+                    sf_ops.append(ops.synth[0] @ fs[v])  # [rDim, b_r]
+                F_rk = (
+                    prep(np.stack(a_ops)),
+                    prep(np.stack(sf_ops)),
+                    jnp.asarray(mask, dtype),
+                )
                 F_r = None
 
     f_l = f_z = None
@@ -213,10 +223,16 @@ def build_modal_filter(grid: Grid, tau: float, order: int, ts: float, dtype,
         if F_r is not None:
             out = grid._mm("vab,vb...->va...", F_r, out)
         elif F_rk is not None:
+            A_st, SF_st, mk = F_rk
             if g == "RL":
-                out = grid._mm("vkab,vbk->vak", F_rk, out)
+                mid = grid._mm("vrb,vbk->vrk", SF_st, out) * mk[None]
+                out = grid._mm("vbr,vrk->vbk", A_st, mid)
             else:  # RLZ-structured (incl. SLZ)
-                out = grid._mm("vkab,vbkK->vakK", F_rk, out)
+                mid = (
+                    grid._mm("vrb,vbkK->vrkK", SF_st, out)
+                    * mk[None, :, :, None]
+                )
+                out = grid._mm("vbr,vrkK->vbkK", A_st, mid)
         if g == "RL" and f_l is not None:
             out = out * f_l[None, None, :]
         elif g == "RZ" and f_z is not None:

@@ -135,17 +135,33 @@ def _local_coords(coords: dict, idx, rows: int) -> dict:
     return out
 
 
+# Radial axis of every known ctx.extras entry (None = not radially
+# shaped, never sliced).  Keyed by NAME, not shape: a shape heuristic
+# would silently mis-slice a future entry whose leading dim happens to
+# coincide with rDim.  Register new extras here when adding them.
+_EXTRAS_RADIAL_AXIS = {
+    "hs_grad": 1,  # topography gradient [2, rDim, nl] (model.py:683)
+    "hs_filtered": 0,  # filtered topography [rDim, nl] (model.py:684)
+    "sponge_ref": 1,  # sponge reference state [nvars, rDim, ...] (model.py:697)
+    "radiation_ref_dr": 1,  # radiation d/dr reference [nvars, rDim, ...] (model.py:699)
+}
+
+
 def _local_extras(extras: dict, idx, rows: int, rDim: int) -> dict:
     """Slice radially-shaped auxiliary fields (e.g. the sponge reference
-    state [nvars, rDim, ...]) to this shard's rows.  Any array whose
-    axis 1 spans the full radial mish dimension is sliced — the mechanism
-    covers future extras entries, not just the sponge.  Arrays whose
-    leading axis spans rDim (e.g. the filtered topography field
-    [rDim, nl]) are sliced on axis 0 instead; axis 1 wins when both
-    match (the [nvars, rDim, ...] reference-state layout)."""
+    state [nvars, rDim, ...]) to this shard's rows.  Registered entries
+    (_EXTRAS_RADIAL_AXIS) slice on their declared radial axis; for
+    unregistered (user-supplied) entries fall back to the shape
+    heuristic — axis 1 == rDim wins over axis 0 == rDim, matching the
+    [nvars, rDim, ...] layout — which can misfire if a non-radial dim
+    coincides with rDim, so production extras must be registered."""
     out = {}
     for key, val in extras.items():
-        if hasattr(val, "ndim") and val.ndim >= 2 and val.shape[1] == rDim:
+        if key in _EXTRAS_RADIAL_AXIS:
+            ax = _EXTRAS_RADIAL_AXIS[key]
+            if ax is not None:
+                val = jax.lax.dynamic_slice_in_dim(val, idx * rows, rows, axis=ax)
+        elif hasattr(val, "ndim") and val.ndim >= 2 and val.shape[1] == rDim:
             val = jax.lax.dynamic_slice_in_dim(val, idx * rows, rows, axis=1)
         elif hasattr(val, "ndim") and val.ndim >= 1 and val.shape[0] == rDim:
             val = jax.lax.dynamic_slice_in_dim(val, idx * rows, rows, axis=0)

@@ -213,3 +213,62 @@ def test_prognostic_rate_cap():
     out = ctx_with({"condensation": "diagnostic",
                     "condensation_rate_cap": 1.0e-4}).cap_condensation(rate)
     assert np.array_equal(np.asarray(out), np.asarray(rate))
+
+
+def test_condensation_tau_partial_adjustment_factor(tmp_path):
+    """options['condensation_tau'] removes exactly 1-exp(-ts/tau) of the
+    (sub-cap) supersaturation a full adjustment would remove — the
+    de-impulsing stabilizer that closed the saturation-onset resonance
+    class on the TC runs (round 4; microphysics.py condensation_tau).
+    Pins (a) the partial-removal factor itself against the tau=0 full
+    adjustment, point by point, and (b) that the factor is applied
+    BEFORE the rate cap, so strongly supersaturated points still
+    condense min(cap, factor * ss) — tau softens onset, the cap still
+    bounds the rate."""
+    tau = 60.0
+    model, grid, ctx_full = _ctx(tmp_path, condensation="diagnostic")
+    _, _, ctx_tau = _ctx(
+        tmp_path, condensation="diagnostic", condensation_tau=tau
+    )
+    factor = 1.0 - np.exp(-ctx_tau.ts / tau)
+    assert 0.0 < factor < 0.05  # acoustic ts (0.2 s) vs droplet tau
+
+    vi = ctx_full.var_index
+    var = jnp.zeros((grid.nvars,) + grid.spatial_shape)
+    _, _, Tk, p = _totals(var, ctx_full)
+    q_sat = td.q_sat_liquid(Tk, p)
+    # mild supersaturation: the FULL adjustment stays under the cap at
+    # these points, so tau is the only difference between the two runs
+    target = 1.00002 * q_sat * jnp.ones(grid.spatial_shape)
+    var = var.at[vi("mu")].set(td.bhyp(target) - ctx_full.ref_state.mubar[None, :, 0])
+    q_v0, _, _, _ = _totals(var, ctx_full)
+
+    out_full = mp.condensation_adjustment(var, None, ctx_full)
+    out_tau = mp.condensation_adjustment(var, None, ctx_tau)
+    q_v_full, _, _, _ = _totals(out_full, ctx_full)
+    q_v_tau, _, _, _ = _totals(out_tau, ctx_tau)
+    dq_full = np.asarray(q_v0 - q_v_full)  # vapor removed, full
+    dq_tau = np.asarray(q_v0 - q_v_tau)  # vapor removed, partial
+    cap = 2.0e-4 * ctx_full.ts
+    mild = (dq_full > 1e-12) & (dq_full < 0.5 * cap)
+    assert mild.sum() > 10
+    ratio = dq_tau[mild] / dq_full[mild]
+    # the mu<->q_v map is mildly nonlinear; 2% tolerance on the factor
+    np.testing.assert_allclose(ratio, factor, rtol=0.02)
+
+    # (b) tau=0 (default) reproduces the full adjustment bitwise
+    _, _, ctx_tau0 = _ctx(
+        tmp_path, condensation="diagnostic", condensation_tau=0.0
+    )
+    out_tau0 = mp.condensation_adjustment(var, None, ctx_tau0)
+    assert np.array_equal(np.asarray(out_tau0), np.asarray(out_full))
+
+    # (c) factor-before-cap: a strongly supersaturated point under tau
+    # still condenses, bounded by the cap
+    var_hot = var.at[vi("mu")].set(2.0)
+    out_hot = mp.condensation_adjustment(var_hot, None, ctx_tau)
+    q_v_hot0, _, _, _ = _totals(var_hot, ctx_tau)
+    q_v_hot1, _, _, _ = _totals(out_hot, ctx_tau)
+    dq_hot = np.asarray(q_v_hot0 - q_v_hot1)
+    assert dq_hot.max() > 0.0
+    assert dq_hot.max() <= cap * 1.05

@@ -201,9 +201,12 @@ def test_sl_masked_filter_pole_consistency():
     pole = val[0, -1, :]
     hat = np.abs(np.fft.rfft(pole))
     nsup = int(mask[-1].sum())
-    # supported slots ~ first few wavenumbers; unsupported must sit at
+    # nsup counts real-Fourier coefficient SLOTS (k=0 plus a cos/sin pair
+    # per wavenumber), so the highest supported wavenumber is
+    # (nsup-1)//2; rfft bins above that are unsupported and must sit at
     # the LSQ-residual floor (measured ~4e-4 of supported on the SLZ
     # production grid)
-    sup = hat[: max(nsup // 2, 1)].max()
-    unsup = hat[nsup:].max()
+    kmax = max((nsup - 1) // 2, 0)
+    sup = hat[: kmax + 1].max()
+    unsup = hat[kmax + 1 :].max()
     assert unsup < 1e-2 * (sup + 1e-30), (sup, unsup)
