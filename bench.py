@@ -308,7 +308,14 @@ def moist3d_bench(device, dtype, ns=(20, 120), reps=3):
         phys0 = np.zeros((gp.nvars,) + grid.spatial_shape)
         phys0[0] = s_pert.reshape(grid.spatial_shape)
         spec0 = grid.analysis(jnp.asarray(phys0, dtype))
-        state0 = ti.initial_state(spec0, (gp.nvars,) + grid.spatial_shape, dtype)
+        from scythe_tpu.model import imp_history_rows
+
+        state0 = ti.initial_state(
+            spec0,
+            (gp.nvars,) + grid.spatial_shape,
+            dtype,
+            imp_rows=imp_history_rows(model),
+        )
         t0 = time.time()
         final = {}
 

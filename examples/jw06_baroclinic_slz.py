@@ -165,7 +165,7 @@ def write_reference_file(path, gp):
 
 def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
                 t_end=9 * 86400.0, K=1.0e5, filter_tau=0.0,
-                filter_axes="rl", filter_order=4):
+                filter_axes="rl", filter_order=4, smag=0.0, l_q=2.0):
     from scythe_tpu import GridParameters, ModelParameters, ZBC
 
     os.makedirs(out_dir, exist_ok=True)
@@ -191,6 +191,15 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
         BCB={"w": ZBC.R1T0},
         BCT={"w": ZBC.R1T0},
         vars=VARS,
+        # l_q=0 disables the per-step spline-penalty filter: the
+        # penalized analysis is CONTRACTIVE (A S != I), and at 5760
+        # steps/day it alone erodes the fitted jet peak ~30%/day at 12
+        # cells (measured round 5: 1000 pure fit iterations take u_max
+        # 34.88 -> 28.0 with zero dynamics; l_q=0 is bitwise neutral).
+        # This - not discrete imbalance - was the round-3/4 "base-state
+        # drift".  Stabilization then falls to dealiasing + K +
+        # Smagorinsky, the standard dry-core recipe.
+        l_q=float(l_q),
     )
     return ModelParameters(
         ts=ts,
@@ -228,6 +237,12 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
                 "modal_filter_axes": filter_axes,
                 "modal_filter_order": int(filter_order)}
                if filter_tau > 0.0 else {}),
+            # horizontal-only Smagorinsky: the physical-space closure
+            # for the day 7+ breaking front (the latitude modal filter
+            # is structurally unusable on the shell — round-4 endgame).
+            # 'rl' axes keep the R0 vertical fits admissible.
+            **({"smagorinsky": float(smag), "smagorinsky_axes": "rl"}
+               if smag > 0.0 else {}),
         },
     )
 
@@ -316,6 +331,19 @@ def main():
                     "damps the k~8 WAVE with an hours-scale e-fold "
                     "(measured suppression); order 8 separates the "
                     "scales (k=8 e-fold ~90 days at tau 120)")
+    ap.add_argument("--l-q", type=float, default=2.0,
+                    help="spline-filter half-power wavelength (grid "
+                    "units); 0 disables the per-step penalty (neutral "
+                    "re-analysis - see build_model note)")
+    ap.add_argument("--smag", type=float, default=0.0,
+                    help="horizontal-only Smagorinsky Cs (classic "
+                    "0.18-0.25; 0 = off) — the flow-dependent "
+                    "physical-space closure for the breaking front")
+    ap.add_argument("--balanced-init", action="store_true",
+                    help="discretely-balanced initialization: solve the "
+                    "model's own gradient-wind/hydrostatic balance on "
+                    "the discrete operators (scythe_tpu.balance), "
+                    "removing the eta->z drift + spinup protocol")
     ap.add_argument("--out", default="./jw06_out")
     args = ap.parse_args()
     if args.cpu:
@@ -324,6 +352,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    elif args.balanced_init:
+        # the balance solve runs f64 on the CPU backend inside the TPU
+        # session (scythe_tpu.balance on_cpu; the main run stays f32)
         jax.config.update("jax_enable_x64", True)
     from scythe_tpu.utils.runtime import enable_compile_cache
 
@@ -340,14 +372,37 @@ def main():
                         t_end=args.days * 86400.0,
                         filter_tau=args.filter_tau,
                         filter_axes=args.filter_axes,
-                        filter_order=args.filter_order)
+                        filter_order=args.filter_order,
+                        smag=args.smag, l_q=args.l_q)
     dtype = default_dtype()
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
     phys0 = initial_fields(grid, ctx.ref_state, perturb=not args.steady)
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
-    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
+    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype,
+                             imp_rows=2)
     step = build_step(model, grid, ctx, dtype)
+
+    if args.balanced_init:
+        # Solve the model's own discrete gradient-wind/hydrostatic
+        # balance for the zonal-mean (s, xi) and rebuild the initial
+        # state on the balanced base: kills the eta->z drift (~1-3
+        # m/s/day jet loss, ~10 hPa polar ps filling) at the source.
+        # The analytic unperturbed state is zonally symmetric, so the
+        # zonal mean IS the base; the wind bump is re-added on top.
+        from scythe_tpu.balance import balance_zonal_state
+
+        base0 = initial_fields(grid, ctx.ref_state, perturb=False)
+        zm = np.asarray(base0).mean(axis=2)
+        bal, info = balance_zonal_state(model, zm, verbose=True)
+        print("balanced init: max|residual| "
+              + " -> ".join(f"{h:.3e}" for h in info["history"]))
+        delta = (bal - zm)[:, :, None, :]
+        phys0 = np.asarray(phys0) + delta
+        spec0 = grid.analysis(jnp.asarray(phys0, dtype))
+        state = ti.initial_state(
+            spec0, (grid.nvars,) + grid.spatial_shape, dtype
+        )
 
     per = int(round(86400.0 / model.ts))  # report daily
     chunk = _pick_chunk(per)

@@ -411,7 +411,8 @@ def main():
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     # sponge reference = filtered initial state (far field)
     ctx.extras["sponge_ref"] = grid.synthesis(spec0)["val"]
-    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
+    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype,
+                             imp_rows=2)
     step = build_step(model, grid, ctx, dtype)
     per = int(round(2.0 * 3600.0 / model.ts))
     chunk = _pick_chunk(per)

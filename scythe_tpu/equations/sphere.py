@@ -193,6 +193,13 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     K_v_const = float(ctx.p("K_v", K))
     cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
     ivd = bool(ctx.options.get("implicit_vdiff"))
+    # options['smagorinsky_axes']: 'rlz' (default, isotropic closure) or
+    # 'rl' (horizontal-only — the dry-core breaking-front configuration:
+    # 2-D strain, horizontal Delta/cap, NO vertical mixing, so R0-fit
+    # vertical fields stay admissible.  The JW06 baroclinic front is the
+    # motivating case: the latitude modal filter is structurally
+    # unusable on the shell, docs/RESULTS.md "JW06 endgame").
+    smag_h = str(ctx.options.get("smagorinsky_axes", "rlz")) == "rl"
     K_eff, Kz_eff, k_v = K, K_v_const, (K_v_const if ivd else None)
     if cs > 0.0:
         from ..physics import turbulence as tb
@@ -203,17 +210,20 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
             (dp[3] / a, dl[3] / acl, dz[3]),
             (dp[4] / a, dl[4] / acl, dz[4]),
             (dp[5] / a, dl[5] / acl, dz[5]), dp.dtype,
-            n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
-            split_vertical=ivd,
+            n2=None if smag_h else (td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
+            split_vertical=ivd and not smag_h,
+            horizontal_only=smag_h,
         )
-        if ivd:
+        if smag_h:
+            K_eff = K + k_t
+        elif ivd:
             K_eff, k_v = K + k_t[0], K_v_const + k_t[1]
         else:
             K_eff, Kz_eff = K + k_t, K_v_const + k_t
     horiz = dpp / aa + dll / (aa * cosp * cosp) - tanp * dp / aa
     if ivd:
         lap_all = lap_mask * (K_eff * horiz)
-    elif K_v_const == K:
+    elif K_v_const == K and not smag_h:
         # single-multiply form, bitwise-identical to the pre-K_v path
         lap_all = lap_mask * (K_eff * (horiz + dzz))
     else:

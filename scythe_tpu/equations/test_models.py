@@ -459,6 +459,10 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
     K_v_const = float(ctx.p("K_v", K))
     cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
     ivd = bool(ctx.options.get("implicit_vdiff"))
+    # options['smagorinsky_axes'] = 'rl': horizontal-only closure (2-D
+    # strain, horizontal Delta/cap, no vertical mixing — see the
+    # MoistEulerSLZ note; default 'rlz' is the isotropic closure)
+    smag_h = str(ctx.options.get("smagorinsky_axes", "rlz")) == "rl"
     K_eff, Kz_eff, k_v = K, K_v_const, (K_v_const if ivd else None)
     if cs > 0.0:
         from ..physics import turbulence as tb
@@ -467,17 +471,20 @@ def MoistEulerRLZ(fields, ctx: EqContext) -> EqResult:
             ctx.grid, ctx.ts, cs,
             (dr[3], dl[3] / r, dz[3]), (dr[4], dl[4] / r, dz[4]),
             (dr[5], dl[5] / r, dz[5]), dr.dtype,
-            n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
-            split_vertical=ivd,
+            n2=None if smag_h else (td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
+            split_vertical=ivd and not smag_h,
+            horizontal_only=smag_h,
         )
-        if ivd:
+        if smag_h:
+            K_eff = K + k_t
+        elif ivd:
             K_eff, k_v = K + k_t[0], K_v_const + k_t[1]
         else:
             K_eff, Kz_eff = K + k_t, K_v_const + k_t
     horiz = drr + dr / r + dll / (r * r)
     if ivd:
         lap_all = lap_mask * (K_eff * horiz)
-    elif K_v_const == K:
+    elif K_v_const == K and not smag_h:
         # single-multiply form, bitwise-identical to the pre-K_v path
         lap_all = lap_mask * (K_eff * (horiz + dzz))
     else:
@@ -658,6 +665,9 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
     K_v_const = float(ctx.p("K_v", K))
     cs = float(ctx.options.get("smagorinsky", 0.0) or 0.0)
     ivd = bool(ctx.options.get("implicit_vdiff"))
+    # options['smagorinsky_axes'] = 'rl': horizontal-only closure (see
+    # the MoistEulerSLZ note; default 'rlz' is the isotropic closure)
+    smag_h = str(ctx.options.get("smagorinsky_axes", "rlz")) == "rl"
     K_eff, Kz_eff, k_v = K, K_v_const, (K_v_const if ivd else None)
     if cs > 0.0:
         from ..physics import turbulence as tb
@@ -666,10 +676,13 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
             ctx.grid, ctx.ts, cs,
             (dx[3], dy[3], dz[3]), (dx[4], dy[4], dz[4]),
             (dx[5], dy[5], dz[5]), u.dtype,
-            n2=(td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
-            split_vertical=ivd,
+            n2=None if smag_h else (td.GRAVITY / td.Cpd) * (dz[0] + sbar_z),
+            split_vertical=ivd and not smag_h,
+            horizontal_only=smag_h,
         )
-        if ivd:
+        if smag_h:
+            K_eff = K + k_t
+        elif ivd:
             K_eff, k_v = K + k_t[0], K_v_const + k_t[1]
         else:
             K_eff, Kz_eff = K + k_t, K_v_const + k_t
@@ -678,7 +691,7 @@ def MoistEulerXYZ(fields, ctx: EqContext) -> EqResult:
         # rainfall_test's K*(dxx + dzz) with dyy inserted in the middle
         if ivd:
             return K_eff * (dxx[i] + dyy[i])
-        if K_v_const == K:
+        if K_v_const == K and not smag_h:
             # single-multiply form, bitwise-identical to the pre-K_v path
             return K_eff * (dxx[i] + dyy[i] + dzz[i])
         return K_eff * (dxx[i] + dyy[i]) + Kz_eff * dzz[i]

@@ -579,22 +579,37 @@ def build_step(
         )
         impdot = res.impdot
         i_nm1, i_nm2 = state.impdot_nm1, state.impdot_nm2
+        # slim implicit history (ti.ModelState doc): [[w, xi], *spatial]
+        # instead of [nvars, *spatial] — the AI2* corrector reads only
+        # those rows, and the full-width tensors cost real lax.scan
+        # carry time (round-4 forensics).  Static-shape branch.
+        slim = (
+            state.impdot_nm1.shape[0] == 2
+            and state.impdot_nm1.shape != state.expdot_nm1.shape
+        )
+        if slim and not semiimplicit:
+            raise ValueError(
+                "slim impdot history (imp_rows=2) requires "
+                "options['semiimplicit'] — use full-width initial_state"
+            )
         if semiimplicit:
+            hw, hx = (0, 1) if slim else (w_i, xi_i)
             w_new, xi_new = ti.semiimplicit_adjustment(
                 si_ops,
                 var_np1[w_i],
                 var_np1[xi_i],
                 impdot[w_i],
-                state.impdot_nm1[w_i],
-                state.impdot_nm2[w_i],
+                state.impdot_nm1[hw],
+                state.impdot_nm2[hw],
                 impdot[xi_i],
-                state.impdot_nm1[xi_i],
-                state.impdot_nm2[xi_i],
+                state.impdot_nm1[hx],
+                state.impdot_nm2[hx],
                 state.t,
             )
             var_np1 = var_np1.at[w_i].set(w_new).at[xi_i].set(xi_new)
         if impdot is not None:
-            i_nm1, i_nm2 = impdot, state.impdot_nm1
+            i_n = jnp.stack([impdot[w_i], impdot[xi_i]]) if slim else impdot
+            i_nm1, i_nm2 = i_n, state.impdot_nm1
         if vdiff_apply is not None:
             var_np1 = vdiff_apply(var_np1, res.k_v, ts)
         if needs_condensation:
@@ -659,6 +674,13 @@ def _pick_chunk(output_int: int, cap: int = 384) -> int:
     return output_int
 
 
+def imp_history_rows(model: ModelParameters) -> int | None:
+    """Implicit-history width for ti.initial_state: the slim 2-row
+    [w, xi] layout for semi-implicit configurations (the AI2* corrector
+    is the only consumer — ti.ModelState doc), full width otherwise."""
+    return 2 if model.opts().get("semiimplicit") else None
+
+
 def initialize(model: ModelParameters, dtype=None):
     """Build grid, context, initial state from the IC file (ref
     initialize_model, semiimplicit.jl:126-193)."""
@@ -669,7 +691,12 @@ def initialize(model: ModelParameters, dtype=None):
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     _set_boundary_refs(ctx, grid, spec0)
     _set_topography(ctx, grid)
-    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
+    state = ti.initial_state(
+        spec0,
+        (grid.nvars,) + grid.spatial_shape,
+        dtype,
+        imp_rows=imp_history_rows(model),
+    )
     return grid, ctx, state
 
 
@@ -940,7 +967,9 @@ def integrate_ensemble(
 
     def member(phys0):
         spec = grid.analysis(phys0)
-        state = ti.initial_state(spec, phys0.shape, dtype)
+        state = ti.initial_state(
+            spec, phys0.shape, dtype, imp_rows=imp_history_rows(model)
+        )
 
         def body(s, _):
             return step(s), None

@@ -553,5 +553,12 @@ def initialize_sharded(model, mesh: Mesh, dtype=None, method="psum", matmul="aut
     _set_topography(ctx, grid)
     if method == "halo":
         spec0 = spec_to_blocks(spec0, n, grid.params.num_cells // n)
-    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
+    from ..model import imp_history_rows
+
+    state = ti.initial_state(
+        spec0,
+        (grid.nvars,) + grid.spatial_shape,
+        dtype,
+        imp_rows=imp_history_rows(model),
+    )
     return grid, ctx, shard_state(state, mesh, method)

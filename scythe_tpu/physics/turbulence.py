@@ -45,7 +45,14 @@ def ring_arc_spacing(grid):
         dx = (p.xmax - p.xmin) / max(p.rDim, 1)
         r = np.asarray(grid.r_mish, np.float64)
         if grid.geometry in ("SL", "SLZ"):
+            # spherical shells: x is LATITUDE in radians — both the ring
+            # radius and the meridional spacing must be converted to
+            # meters (a cos(lat), a dphi).  The unconverted dx left the
+            # 4:1 anisotropy cap at ~0.5 m, silently crushing the
+            # closure's K_t to ~1e-8 m^2/s on SL/SLZ (found round 5 when
+            # Smagorinsky was first tried on the JW06 shell).
             r = p.sphere_radius * np.cos(r)  # ring radius a cos(lat)
+            dx = p.sphere_radius * dx
         dy = 2.0 * np.pi * np.maximum(np.abs(r), dx) / max(grid.nl, 1)
         # anisotropy cap: on near-axisymmetric runs (small nl) the
         # ring arc 2 pi r / nl is hundreds of km — a coordinate
@@ -72,6 +79,8 @@ def length_scales(grid):
     p = grid.params
     g = grid._struct
     dx = (p.xmax - p.xmin) / max(p.rDim, 1)
+    if grid.geometry in ("SL", "SLZ"):
+        dx = p.sphere_radius * dx  # latitude radians -> meters
     # dy may come back as a shard-local traced slice (see
     # ring_arc_spacing) — all downstream math must stay jnp-safe
     dy = ring_arc_spacing(grid)
@@ -88,7 +97,7 @@ def length_scales(grid):
 
 def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
                           pr=1.0 / 3.0, cap_frac=0.02,
-                          split_vertical=False):
+                          split_vertical=False, horizontal_only=False):
     """Capped Smagorinsky viscosity field.
 
     ``du``/``dv``/``dw``: tuples of the PHYSICAL derivatives of each
@@ -104,6 +113,19 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
     ones (Ri > Pr).  The moist equation sets pass the dry-entropy
     estimate N^2 = (g/Cpd) d(s_total)/dz.
 
+    ``horizontal_only``: restrict the closure to the horizontal plane —
+    2-D strain (du/dx, dv/dy, and the horizontal shear pair only),
+    filter scale sqrt(dx*dy), cap at the horizontal diffusive limit —
+    and return a single K_h meant to multiply ONLY the horizontal
+    Laplacian.  This is the standard dry-dynamical-core configuration
+    (options['smagorinsky_axes'] = 'rl'): on a baroclinic-wave grid the
+    vertical spacing is O(1 km) against O(100 km) horizontal, so the
+    isotropic closure both miscalibrates Delta and switches on vertical
+    mixing that R0-fit vertical fields cannot take (wall-flux rule,
+    docs/NUMERICS.md).  Mutually exclusive with split_vertical; the
+    Richardson factor (n2) is ignored in this mode — it belongs to the
+    vertical-mixing physics the mode excludes.
+
     ``split_vertical``: for options['implicit_vdiff'] configurations —
     returns (k_h, k_v) where k_h is capped at the HORIZONTAL explicit
     diffusive limit only (it multiplies the explicit horizontal
@@ -115,6 +137,8 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
     boundary layer needs O(10-100x) more mixing — the measured surface
     v = 60 m/s unmixed-BL failure mode of the round-3 TC runs.
     """
+    if split_vertical and horizontal_only:
+        raise ValueError("split_vertical and horizontal_only are exclusive")
     dx, dy, dz = length_scales(grid)
 
     def sq(x):
@@ -127,6 +151,20 @@ def smagorinsky_viscosity(grid, ts, cs, du, dv, dw, dtype, n2=None,
         return 0.5 * s
 
     s12 = half(du[1], dv[0] if dv else None)
+    if horizontal_only:
+        smag2 = 2.0 * (
+            sq(du[0]) + sq(dv[1] if dv else None)
+        ) + 4.0 * sq(s12)
+        smag = jnp.sqrt(smag2)
+        # dy may be a traced shard-local slice — keep the arithmetic
+        # numpy/jnp-agnostic (same rule as the isotropic branch below)
+        dy_h = dy if dy is not None else dx
+        if getattr(dy_h, "ndim", 0) >= 1:
+            dy_h = dy_h[:, None, None] if dz is not None else dy_h[:, None]
+        delta_h = (np.asarray(dx, np.float64) * dy_h) ** 0.5
+        inv2_hh = 1.0 / dx**2 + (1.0 / (dy_h * dy_h) if dy is not None else 0.0)
+        k_t = (cs * jnp.asarray(delta_h, dtype)) ** 2 * smag
+        return jnp.minimum(k_t, jnp.asarray(cap_frac / (ts * inv2_hh), dtype))
     s13 = half(du[2], dw[0] if dw else None)
     s23 = half(dv[2] if dv else None, dw[1] if dw else None)
     smag2 = 2.0 * (

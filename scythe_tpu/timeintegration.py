@@ -28,9 +28,18 @@ class ModelState(NamedTuple):
     """Prognostic state + multistep tendency history (pytree).
 
     ``spec``: spectral coefficients [nvars, ...]; histories are physical-space
-    arrays [nvars, *spatial] (ref ModelTile fields expdot_*/impdot_*,
-    src/semiimplicit.jl:18-42).  ``t`` is the 1-based index of the *next*
-    step to be taken.
+    arrays (ref ModelTile fields expdot_*/impdot_*,
+    src/semiimplicit.jl:18-42).  ``expdot_*`` are always full
+    [nvars, *spatial] (AB3 consumes every row).  ``impdot_*`` are either
+    full [nvars, *spatial] or the SLIM 2-row layout [[w, xi], *spatial]
+    (``initial_state(..., imp_rows=2)``): the AI2* corrector is the
+    only consumer of the implicit history and reads exactly those two
+    rows (semiimplicit.jl:543-566), and inside ``lax.scan`` the carried
+    history tensors dominate step cost on the 3-D moist core —
+    measured ~770 us/step of residual carry shuffle at full width
+    (tools/probe_scan_carry.py, round 4).  ``model.build_step``
+    branches on the (static) leading dim.  ``t`` is the 1-based index
+    of the *next* step to be taken.
     """
 
     spec: jnp.ndarray
@@ -41,9 +50,17 @@ class ModelState(NamedTuple):
     t: jnp.ndarray
 
 
-def initial_state(spec: jnp.ndarray, phys_shape, dtype) -> ModelState:
+def initial_state(
+    spec: jnp.ndarray, phys_shape, dtype, imp_rows: int | None = None
+) -> ModelState:
+    """``imp_rows=2`` selects the slim [w, xi] implicit-history layout
+    (semi-implicit configurations only — model.imp_history_rows picks)."""
     z = jnp.zeros(phys_shape, dtype)
-    return ModelState(spec, z, z, z, z, jnp.asarray(1, jnp.int32))
+    if imp_rows is None or imp_rows == phys_shape[0]:
+        zi = z
+    else:
+        zi = jnp.zeros((imp_rows,) + tuple(phys_shape[1:]), dtype)
+    return ModelState(spec, z, z, zi, zi, jnp.asarray(1, jnp.int32))
 
 
 def _ramp_index(t: jnp.ndarray) -> jnp.ndarray:

@@ -158,3 +158,65 @@ def test_explicit_increment_weights():
         float(ti.explicit_increment(y, incr, jnp.asarray(5), ts)[0, 0]),
         2.0 + 0.1 * 23.0 / 12.0,
     )
+
+
+def test_slim_impdot_history_bitwise_identical(tmp_path):
+    """The slim [w, xi] implicit-history layout (ti.initial_state
+    imp_rows=2 — the production carry-cost optimization, round 5) must
+    reproduce the full-width trajectory BITWISE: the AI2* corrector
+    reads exactly those rows either way."""
+    model = _moist_model(
+        tmp_path,
+        "rainfall_test",
+        {"s": 1, "xi": 2, "mu": 3, "u": 4, "w": 5, "mu_c": 6, "mu_r": 7,
+         "qss": 8},
+    )
+    _write_bubble_ics(model)
+    from scythe_tpu.model import build_context, build_step
+    from scythe_tpu import io as sio
+
+    grid = create_grid(model.grid_params, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    phys0 = sio.read_physical_grid(model.initial_conditions, grid)
+    spec0 = grid.analysis(jnp.asarray(phys0))
+    step = build_step(model, grid, ctx, jnp.float64)
+    shape = (grid.nvars,) + grid.spatial_shape
+    s_full = ti.initial_state(spec0, shape, jnp.float64)
+    s_slim = ti.initial_state(spec0, shape, jnp.float64, imp_rows=2)
+    assert s_slim.impdot_nm1.shape[0] == 2
+    for _ in range(20):
+        s_full = step(s_full)
+        s_slim = step(s_slim)
+    assert np.array_equal(np.asarray(s_full.spec), np.asarray(s_slim.spec))
+    vi = grid.params.var_index
+    assert np.array_equal(
+        np.asarray(s_full.impdot_nm1)[[vi("w"), vi("xi")]],
+        np.asarray(s_slim.impdot_nm1),
+    )
+
+
+def test_slim_impdot_requires_semiimplicit(tmp_path):
+    """imp_rows=2 without options['semiimplicit'] is rejected at trace
+    time (the slim layout's rows are only defined by the AI2* pair)."""
+    import dataclasses
+
+    model = _moist_model(
+        tmp_path,
+        "rainfall_test",
+        {"s": 1, "xi": 2, "mu": 3, "u": 4, "w": 5, "mu_c": 6, "mu_r": 7,
+         "qss": 8},
+    )
+    model = dataclasses.replace(model, options={})
+    _write_bubble_ics(model)
+    from scythe_tpu.model import build_context, build_step
+    from scythe_tpu import io as sio
+
+    grid = create_grid(model.grid_params, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    phys0 = sio.read_physical_grid(model.initial_conditions, grid)
+    spec0 = grid.analysis(jnp.asarray(phys0))
+    step = build_step(model, grid, ctx, jnp.float64)
+    shape = (grid.nvars,) + grid.spatial_shape
+    s_slim = ti.initial_state(spec0, shape, jnp.float64, imp_rows=2)
+    with pytest.raises(ValueError, match="slim impdot"):
+        step(s_slim)

@@ -186,3 +186,109 @@ def test_per_ring_arc_length_scale_polar():
         )
     )
     assert kt.shape == shape and np.isfinite(kt).all() and kt.max() > 0.0
+
+
+def test_horizontal_only_mode():
+    """horizontal_only=True: 2-D strain (vertical shear excluded),
+    sqrt(dx*dy) filter scale, horizontal-only cap — the dry-core
+    breaking-front configuration (options['smagorinsky_axes']='rl')."""
+    grid = _xyz_grid()
+    shape = grid.spatial_shape
+    gamma = 1.0e-3
+    zero = jnp.zeros(shape)
+    g_f = jnp.full(shape, gamma)
+
+    # pure VERTICAL shear must produce ZERO horizontal viscosity
+    kt = np.asarray(
+        tb.smagorinsky_viscosity(
+            grid, 0.25, 0.18,
+            (zero, zero, g_f), (zero, zero, zero), (zero, zero, zero),
+            jnp.float64, horizontal_only=True,
+        )
+    )
+    assert np.allclose(kt, 0.0)
+
+    # pure horizontal shear du/dy = gamma: |S|_2D = gamma, K_h =
+    # (Cs*sqrt(dx*dy))^2 * gamma below the horizontal cap
+    kt = np.asarray(
+        tb.smagorinsky_viscosity(
+            grid, 0.25, 0.18,
+            (zero, g_f, zero), (zero, zero, zero), (zero, zero, zero),
+            jnp.float64, horizontal_only=True,
+        )
+    )
+    dx, dy, _ = tb.length_scales(grid)
+    expect = (0.18 * np.sqrt(dx * dy)) ** 2 * gamma
+    cap = 0.02 / (0.25 * (1.0 / dx**2 + 1.0 / dy**2))
+    assert np.allclose(kt, min(expect, cap), rtol=1e-12)
+    assert kt.max() > 1.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tb.smagorinsky_viscosity(
+            grid, 0.25, 0.18,
+            (zero, zero, zero), (zero, zero, zero), (zero, zero, zero),
+            jnp.float64, horizontal_only=True, split_vertical=True,
+        )
+
+
+def test_slz_smag_axes_rl_leaves_vertical_untouched(tmp_path):
+    """On MoistEulerSLZ with smagorinsky_axes='rl': a pure horizontal
+    shear flow gets extra horizontal damping but ZERO vertical-mixing
+    tendency (K_v=0 preserved), while the default 'rlz' closure would
+    switch vertical mixing on — the wall-flux-rule hazard that kept
+    Smagorinsky off the JW06 runs (docs/RESULTS.md 'JW06 endgame')."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.jw06_baroclinic_slz import build_model, initial_fields
+    from scythe_tpu.model import build_context
+    import dataclasses
+
+    out = str(tmp_path / "jw")
+    model = build_model(out, num_cells=8, nl=24, zdim=12, ts=15.0)
+    base_opts = dict(model.options)
+
+    def tendency(axes):
+        opts = dict(base_opts)
+        opts.update(smagorinsky=0.25, smagorinsky_axes=axes)
+        m = dataclasses.replace(model, options=opts)
+        grid = create_grid(m.grid_params, jnp.float64)
+        ctx = build_context(m, grid, jnp.float64)
+        phys = initial_fields(grid, ctx.ref_state, perturb=True)
+        spec = grid.analysis(jnp.asarray(phys))
+        fields = grid.synthesis(spec)
+        from scythe_tpu.equations.common import get_equation_set
+        res = get_equation_set("MoistEulerSLZ")(fields, ctx)
+        return np.asarray(res.expdot)
+
+    t_rl = tendency("rl")
+    t_rlz = tendency("rlz")
+    assert np.isfinite(t_rl).all() and np.isfinite(t_rlz).all()
+    # the two closures must actually differ on this sheared state
+    assert not np.allclose(t_rl[3], t_rlz[3])
+
+
+def test_spherical_length_scales_are_meters():
+    """SL/SLZ length scales must be METERS: the latitude spacing is
+    a*dphi and the equatorial ring arc is ~2 pi a cos(lat)/nl.  Round 5
+    found the unconverted radians dx (~0.13) feeding the 4:1 anisotropy
+    cap, which clamped dy to ~0.5 m and crushed the closure's K_t to
+    ~1e-8 m^2/s on spherical shells."""
+    from scythe_tpu import GridParameters, ZBC
+
+    gp = GridParameters(
+        geometry="SLZ", xmin=-np.pi / 2, xmax=np.pi / 2, num_cells=8,
+        lDim=24, sphere_radius=6.371229e6, zmin=0.0, zmax=3.0e4, zDim=12,
+        BCB={"w": ZBC.R1T0}, BCT={"w": ZBC.R1T0}, vars=VARS,
+    )
+    grid = create_grid(gp, jnp.float64)
+    dx, dy, dz = tb.length_scales(grid)
+    a = gp.sphere_radius
+    assert abs(dx - a * np.pi / grid.params.rDim) < 1.0  # ~834 km
+    lat = np.asarray(grid.r_mish)
+    i_eq = int(np.argmin(np.abs(lat)))
+    arc_eq = 2.0 * np.pi * a * np.cos(lat[i_eq]) / 24
+    # equatorial ring arc within the anisotropy cap (4 dx)
+    assert abs(dy[i_eq] - min(arc_eq, 4.0 * dx)) < 1.0
+    assert dy.min() > 1.0e5  # every ring's scale is O(100 km), not O(1 m)

@@ -92,7 +92,8 @@ def main():
         rng.normal(size=(grid.nvars,) + grid.spatial_shape) * 1e-3, dtype
     )
     spec0 = grid.analysis(phys0)
-    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype)
+    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype,
+                             imp_rows=2)
 
     si_ops = ti.build_semiimplicit_ops(
         gp.zDim, gp.zmin, gp.zmax, gp.b_zDim,
