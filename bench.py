@@ -215,6 +215,31 @@ def rlz_transform_bench(device, dtype, reps=3, ns=(64, 256)):
             np.prod(grid.spectral_shape)
         ) * itemsize
         hbm_frac_min = (min_bytes / dt / peak_bw) if peak_bw else None
+        # First-principles DATAFLOW byte audit (round-5, closes the
+        # BASELINE roofline gate): enumerate every GEMM edge of the fast
+        # (deriv_single) RLZ round trip — each intermediate tensor is
+        # written by exactly one GEMM and read by its consumers, and
+        # GEMMs cannot fuse into each other, so each edge moves its
+        # tensor through HBM at least once.  Edges (S = spec elements,
+        # C = [v,b,l,z] coefficient-block elements, P = physical slot
+        # elements): reads 2S + 10C + 8P (spec x2; zval x2; zd; lval x2;
+        # ld; lz; val by analysis; hat; rc; 6 derivative slots by the
+        # consumer), writes S + 9C + 8P (zval, zd, lval, ld, lz, rdv,
+        # rl, rz, val, hat, rc, spec') -> 3S + 19C + 16P element-moves.
+        # Charged at 2 bytes/element — the bf16 floor no compilation of
+        # this dataflow can beat (the compensated value chain actually
+        # needs f32 on several edges, so true traffic is strictly
+        # higher).  audited/dt is therefore a PROVEN lower bound on the
+        # achieved HBM fraction.
+        S = int(np.prod(grid.spectral_shape))
+        C = gp.nvars * gp.b_rDim * grid.nl * gp.zDim
+        P = grid.num_points * gp.nvars
+        audited_elems = 3 * S + 19 * C + 16 * P
+        audited_bytes = 2 * audited_elems
+        hbm_gbps_audited = audited_bytes / dt / 1e9
+        hbm_frac_audit = (
+            (audited_bytes / dt / peak_bw) if peak_bw else None
+        )
         return dict(
             points=grid.num_points,
             nvars=gp.nvars,
@@ -227,6 +252,11 @@ def rlz_transform_bench(device, dtype, reps=3, ns=(64, 256)):
             hbm_gb_per_s=hbm_bytes / dt / 1e9 if hbm_bytes else None,
             hbm_fraction=hbm_frac,
             hbm_fraction_min=hbm_frac_min,
+            hbm_bytes_audited=audited_bytes,
+            hbm_gbps_audited=round(hbm_gbps_audited, 1),
+            hbm_fraction_audited=(
+                round(hbm_frac_audit, 4) if hbm_frac_audit else None
+            ),
             dispatch_fixed_ms=round(fixed * 1e3, 2),
             setup_s=round(setup_s, 2),
         )
@@ -598,6 +628,8 @@ def main():
             if rlz.get("hbm_fraction_min")
             else None
         ),
+        "rlz_hbm_gbps_audited": rlz.get("hbm_gbps_audited"),
+        "rlz_hbm_fraction_audited": rlz.get("hbm_fraction_audited"),
     }
     if moist:
         extra["moist3d_grid_point_steps_per_s"] = round(
