@@ -23,8 +23,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("run_dir")
+    ap.add_argument("run_dir", nargs="?", default="-")
     ap.add_argument("--model", default=None, help="model config file (for the grid)")
+    ap.add_argument("--empi-sounding", default=None,
+                    help="sounding file (z theta qv; first line surface "
+                    "pressure): print the Emanuel potential intensity of "
+                    "that environment and the simulated overshoot vs "
+                    "--vmax (diagnostics.emanuel_potential_intensity)")
+    ap.add_argument("--sst", type=float, default=301.15,
+                    help="sea-surface temperature [K] for --empi-sounding")
+    ap.add_argument("--vmax", type=float, default=None,
+                    help="simulated peak intensity [m/s] to compare "
+                    "against E-MPI (e.g. 78 for the round-4 mature run)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -34,10 +44,38 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import scythe_tpu.io as sio
     from scythe_tpu import create_grid, diagnostics as dg
+
+    if args.empi_sounding:
+        # E-MPI of the run's environment, via the framework's own
+        # reference-state builder (hydrostatic theta->T inversion) and
+        # thermodynamics
+        from scythe_tpu.physics import reference_state as rsmod
+        from scythe_tpu.physics import thermodynamics as td
+
+        rs = rsmod.interpolate_reference_file(
+            args.empi_sounding, 0.0, 20.0e3, 48, 33, jnp.float64
+        )
+        q_v, rho_d, Tk, phPa = (np.asarray(a) for a in td.thermodynamic_tuple(
+            np.asarray(rs.sbar[:, 0]), np.asarray(rs.xibar[:, 0]),
+            np.asarray(rs.mubar[:, 0])))
+        vmpi, To, dk = dg.emanuel_potential_intensity(
+            Tk, phPa, q_v, args.sst
+        )
+        print(f"E-MPI of {args.empi_sounding} at SST {args.sst:.2f} K: "
+              f"{vmpi:.1f} m/s  (outflow T {To:.1f} K, "
+              f"air-sea disequilibrium {dk:.0f} J/kg)")
+        if args.vmax is not None:
+            print(f"simulated Vmax {args.vmax:.1f} m/s = "
+                  f"{args.vmax / vmpi:.2f}x E-MPI "
+                  "(axisymmetric superintensity up to ~1.5x is the "
+                  "known regime: Persing & Montgomery 2003)")
+        if not args.run_dir or args.run_dir == "-":
+            return
 
     if args.model:
         import runpy
