@@ -104,3 +104,74 @@ def test_steady_state_short_window(tmp_path):
     assert np.abs(w).max() < 1.0, np.abs(w).max()
     u0 = phys0[3].max()
     assert abs(phys[3].max() - u0) < 0.15 * u0
+
+
+def test_lq0_analysis_is_idempotent(tmp_path):
+    """l_q=0 makes analysis a pure LSQ left-inverse of synthesis: the
+    per-step re-analysis is bitwise NEUTRAL.  With the default l_q=2
+    penalty the fit map is contractive and, at 5760 steps/day, erodes
+    the fitted jet ~30%/day with ZERO dynamics — the round-3/4
+    "base-state drift" root cause (round 5; docs/RESULTS.md)."""
+    model = jw.build_model(str(tmp_path), num_cells=8, nl=24, zdim=12,
+                           ts=15.0, l_q=0.0)
+    grid = create_grid(model.grid_params, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    phys0 = jw.initial_fields(grid, ctx.ref_state, perturb=False)
+    spec = grid.analysis(jnp.asarray(phys0, jnp.float64))
+    s = spec
+    for _ in range(50):
+        s = grid.analysis(grid.synthesis(s)["val"])
+    assert float(jnp.abs(s - spec).max()) < 1e-10 * float(
+        jnp.abs(spec).max()
+    )
+
+    # control: the default penalty IS contractive on the same state
+    model2 = jw.build_model(str(tmp_path) + "2", num_cells=8, nl=24,
+                            zdim=12, ts=15.0, l_q=2.0)
+    grid2 = create_grid(model2.grid_params, jnp.float64)
+    s2 = spec2 = grid2.analysis(jnp.asarray(phys0, jnp.float64))
+    for _ in range(50):
+        s2 = grid2.analysis(grid2.synthesis(s2)["val"])
+    u0 = float(grid2.synthesis(spec2)["val"][3].max())
+    u50 = float(grid2.synthesis(s2)["val"][3].max())
+    assert u50 < u0 - 0.05  # measurable erosion within 50 fits
+
+
+def test_balanced_init_transfers_across_nl(tmp_path):
+    """scythe_tpu.balance: the Newton solve runs on a small-nl replica
+    grid; the zonal-mean (k=0) discrete operators are nl-independent, so
+    the correction must reduce the PRODUCTION grid's fitted (v, w)
+    tendency residuals by orders of magnitude (measured 1600x/5000x at
+    12 cells round 5)."""
+    import jax
+
+    from scythe_tpu.balance import balance_zonal_state, _total_tendency
+    from scythe_tpu.equations.common import get_equation_set
+
+    model = jw.build_model(str(tmp_path), num_cells=8, nl=24, zdim=12,
+                           ts=15.0, l_q=0.0)
+    grid = create_grid(model.grid_params, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    phys0 = jw.initial_fields(grid, ctx.ref_state, perturb=False)
+    zm = np.asarray(phys0).mean(axis=2)
+    bal, info = balance_zonal_state(model, zm, nl_solve=4, iters=3)
+    assert info["history"][-1] < 0.02 * info["history"][0]
+
+    eqset = get_equation_set(model.equation_set)
+    vi = model.grid_params.var_index
+
+    def resid(z):
+        phys = jnp.asarray(z)[:, :, None, :] * jnp.ones(
+            (1, 1, grid.nl, 1)
+        )
+        tot = _total_tendency(eqset, grid, ctx, phys)
+        return np.asarray(
+            jnp.stack(
+                [tot[vi("v")].mean(axis=1), tot[vi("w")].mean(axis=1)]
+            )
+        )
+
+    r_un = resid(zm)
+    r_bal = resid(bal)
+    # production-grid residual reduction matches the solve grid's
+    assert np.abs(r_bal).max() < 0.02 * np.abs(r_un).max()
