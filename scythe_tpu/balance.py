@@ -165,10 +165,19 @@ def _balance_impl(
 
     # per-row residual weights: the meridional (v) imbalance — the
     # actual jet-drift driver — is orders smaller than the hydrostatic
-    # (w) one; unweighted least squares would ignore it entirely
+    # (w) one; unweighted least squares would ignore it entirely.
+    # BOUNDED to a 100:1 ratio: when a row starts essentially balanced
+    # (measured: v-row 1.5e-7 vs w-row 1.4e-2 at 48 cells) an unbounded
+    # weight inflates its singular values ~5 orders and the relative
+    # rcond truncation then discards every OTHER row's physics — the
+    # round-5 production-resolution stall.
     r0 = raw_residual(jnp.zeros((len(ic), rDim, zDim), dtype))
+    r0max = float(jnp.abs(r0).max())
     row_w = jnp.asarray(
-        [1.0 / max(float(jnp.abs(r0[j]).max()), 1e-30) for j in range(len(ir))],
+        [
+            1.0 / max(float(jnp.abs(r0[j]).max()), 1e-2 * r0max, 1e-30)
+            for j in range(len(ir))
+        ],
         dtype,
     )[:, None, None]
 
@@ -201,11 +210,13 @@ def _balance_impl(
         J = jac(x)
         # truncated-SVD solve: the gridpoint parametrization is ~3x
         # redundant against the B-spline x Chebyshev fit space, so J has
-        # a large exact nullspace (sigma ~ 1e-14) below a well-separated
-        # physical spectrum; rcond 1e-4 keeps the physical part and
-        # discards the nullspace (exploiting it produced |ds| ~ 1e3
-        # J/kg/K nonphysical corrections at rcond 1e-10 — measured)
-        dx, *_ = jnp.linalg.lstsq(J, -r.reshape(-1), rcond=1e-4)
+        # a large exact nullspace (sigma ~ 1e-10 relative) far below the
+        # physical spectrum; rcond 1e-6 keeps the physical part —
+        # measured 1100x one-step reduction at 48 cells — and discards
+        # the nullspace (whose exploitation produced |ds| ~ 1e3 J/kg/K
+        # nonphysical corrections on the unfitted residual; the fitted
+        # residual + bounded row weights keep the gap wide)
+        dx, *_ = jnp.linalg.lstsq(J, -r.reshape(-1), rcond=1e-6)
         dx = dx.reshape(x.shape)
         # backtracking line search on the weighted norm (the residual is
         # nearly linear but q_sat/thermo curvature can overshoot)
