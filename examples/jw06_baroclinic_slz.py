@@ -278,13 +278,19 @@ def initial_fields(grid, ref_state, perturb=True):
 
 
 def diagnostics(grid, ref_state, phys):
-    """(u_max, v_absmax, NH-band ps_min hPa, NH-band ps_max hPa).
+    """(u_max, v_absmax, NH-band ps_min, ps_max, eddy ps_min) in hPa.
 
     The ps extrema are taken over the 25-75 deg N storm track: the JW06
     surface-pressure signal (published Fig. 6 curves) lives there, while
     the GLOBAL minimum is the south-pole surface value (~953 hPa at
     z = 0 by construction — the eta = 1 surface sits ~300 m above z = 0
-    at the poles) which hides the wave low entirely."""
+    at the poles) which hides the wave low entirely.
+
+    ``eddy ps_min`` = min over the band of (ps − zonal-mean ps): the
+    published curves start from JW06's exactly-uniform 1000 hPa surface
+    pressure, so ``1000 + eddy ps_min`` is the directly comparable
+    number (our absolute z = 0 ps carries the ±300 m eta = 1 undulation
+    in its zonal mean, offsetting the raw band minimum by ~−45 hPa)."""
     from scythe_tpu.physics import thermodynamics as td
 
     sh = grid.spatial_shape
@@ -297,8 +303,10 @@ def diagnostics(grid, ref_state, phys):
     ps = p[..., 0] * np.exp(G * z0 / (RD * Tk[..., 0]))
     lat = np.degrees(np.asarray(grid.r_mish))
     band = (lat > 25.0) & (lat < 75.0)
+    ps_eddy = ps - ps.mean(axis=1, keepdims=True)
     return (float(phys[3].max()), float(np.abs(phys[4]).max()),
-            float(ps[band].min()), float(ps[band].max()))
+            float(ps[band].min()), float(ps[band].max()),
+            float(ps_eddy[band].min()))
 
 
 def main():
@@ -355,7 +363,8 @@ def main():
         jax.config.update("jax_enable_x64", True)
     elif args.balanced_init:
         # the balance solve runs f64 on the CPU backend inside the TPU
-        # session (scythe_tpu.balance on_cpu; the main run stays f32)
+        # session (scythe_tpu.balance on_cpu; the main run stays f32 —
+        # dtype is pinned below, NOT read from the x64 flag)
         jax.config.update("jax_enable_x64", True)
     from scythe_tpu.utils.runtime import enable_compile_cache
 
@@ -374,7 +383,10 @@ def main():
                         filter_axes=args.filter_axes,
                         filter_order=args.filter_order,
                         smag=args.smag, l_q=args.l_q)
-    dtype = default_dtype()
+    # --balanced-init enables x64 globally for the CPU-side solve; the
+    # device run must stay f32 (TPU f64 is emulated), so pin the dtype
+    # instead of reading it off the x64 flag.
+    dtype = default_dtype() if args.cpu else jnp.float32
     grid = create_grid(model.grid_params, dtype)
     ctx = build_context(model, grid, dtype)
     phys0 = initial_fields(grid, ctx.ref_state, perturb=not args.steady)
@@ -401,7 +413,7 @@ def main():
         phys0 = np.asarray(phys0) + delta
         spec0 = grid.analysis(jnp.asarray(phys0, dtype))
         state = ti.initial_state(
-            spec0, (grid.nvars,) + grid.spatial_shape, dtype
+            spec0, (grid.nvars,) + grid.spatial_shape, dtype, imp_rows=2
         )
 
     per = int(round(86400.0 / model.ts))  # report daily
@@ -427,7 +439,7 @@ def main():
         base0 = initial_fields(grid, ctx.ref_state, perturb=False)
         state = ti.initial_state(
             grid.analysis(jnp.asarray(base0, dtype)),
-            (grid.nvars,) + grid.spatial_shape, dtype,
+            (grid.nvars,) + grid.spatial_shape, dtype, imp_rows=2,
         )
         for d in range(int(args.spinup_days)):
             state = run_day(state)
@@ -439,29 +451,31 @@ def main():
         spec0 = grid.analysis(jnp.asarray(base + bump, dtype))
         # fresh multistep history on the perturbed state
         state = ti.initial_state(
-            spec0, (grid.nvars,) + grid.spatial_shape, dtype
+            spec0, (grid.nvars,) + grid.spatial_shape, dtype, imp_rows=2
         )
         phys0 = base + bump
     u0max = float(phys0[3].max())
-    print(" day   u_max   |v|_max  ps_min(hPa)  ps_max(hPa)")
-    um, vm, pmn, pmx = diagnostics(grid, ctx.ref_state, phys0)
-    print(f"{0:4.0f} {um:7.2f} {vm:8.3f} {pmn:10.2f} {pmx:10.2f}",
-          flush=True)
+    print(" day   u_max   |v|_max  ps_min(hPa)  ps_max(hPa)  ps_eddy_min")
+    um, vm, pmn, pmx, pse = diagnostics(grid, ctx.ref_state, phys0)
+    print(f"{0:4.0f} {um:7.2f} {vm:8.3f} {pmn:10.2f} {pmx:10.2f} "
+          f"{pse:10.2f}", flush=True)
     for day in range(1, int(args.days) + 1):
         state = run_day(state)
         phys = np.asarray(grid.synthesis(state.spec)["val"])
         if not np.isfinite(phys).all():
             print(f"NONFINITE at day {day}")
             sys.exit(1)
-        um, vm, pmn, pmx = diagnostics(grid, ctx.ref_state, phys)
+        um, vm, pmn, pmx, pse = diagnostics(grid, ctx.ref_state, phys)
         print(f"{day:4.0f} {um:7.2f} {vm:8.3f} {pmn:10.2f} "
-              f"{pmx:10.2f}", flush=True)
+              f"{pmx:10.2f} {pse:10.2f}", flush=True)
     if args.steady:
         print(f"steady-state drift: u_max {u0max:.2f} -> {um:.2f} m/s "
               f"(JW06 Fig. 4: reference cores hold a few m/s)")
     else:
         print("published (JW06 Fig. 6, four reference cores): ps_min "
               "~997 hPa day 4, ~980 day 6, ~940-960 day 8, <930 day 10")
+        print("compare 1000 + ps_eddy_min against those curves (the "
+              "published initial surface pressure is uniform 1000 hPa)")
 
 
 if __name__ == "__main__":
