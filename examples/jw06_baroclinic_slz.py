@@ -165,7 +165,8 @@ def write_reference_file(path, gp):
 
 def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
                 t_end=9 * 86400.0, K=1.0e5, filter_tau=0.0,
-                filter_axes="rl", filter_order=4, smag=0.0, l_q=2.0):
+                filter_axes="rl", filter_order=4, smag=0.0, l_q=2.0,
+                sponge_top=0.0, sponge_top_tau=600.0):
     from scythe_tpu import GridParameters, ModelParameters, ZBC
 
     os.makedirs(out_dir, exist_ok=True)
@@ -243,6 +244,12 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
             # 'rl' axes keep the R0 vertical fits admissible.
             **({"smagorinsky": float(smag), "smagorinsky_axes": "rl"}
                if smag > 0.0 else {}),
+            # top absorbing layer (model.build_step sponge_top_*): the
+            # published cores all damp their model tops; ours measured
+            # a polar model-top v-mode without one (round 5)
+            **({"sponge_top_width": float(sponge_top),
+                "sponge_top_tau": float(sponge_top_tau)}
+               if sponge_top > 0.0 else {}),
         },
     )
 
@@ -347,6 +354,16 @@ def main():
                     help="horizontal-only Smagorinsky Cs (classic "
                     "0.18-0.25; 0 = off) — the flow-dependent "
                     "physical-space closure for the breaking front")
+    ap.add_argument("--sponge-top-km", type=float, default=0.0,
+                    help="top Rayleigh-sponge depth (km; 0 = off): "
+                    "relax the top layer toward the initial state "
+                    "(published cores all absorb at the model top)")
+    ap.add_argument("--sponge-top-tau", type=float, default=600.0)
+    ap.add_argument("--balance-cache", action="store_true",
+                    help="cache/reuse the (cells, zdim)-keyed balance "
+                    "solution in /tmp (the correction is ~8 min of CPU "
+                    "Newton at 48 cells and identical across option "
+                    "arms: the solve sees only the zonal-mean state)")
     ap.add_argument("--balanced-init", action="store_true",
                     help="discretely-balanced initialization: solve the "
                     "model's own gradient-wind/hydrostatic balance on "
@@ -382,7 +399,9 @@ def main():
                         filter_tau=args.filter_tau,
                         filter_axes=args.filter_axes,
                         filter_order=args.filter_order,
-                        smag=args.smag, l_q=args.l_q)
+                        smag=args.smag, l_q=args.l_q,
+                        sponge_top=args.sponge_top_km * 1.0e3,
+                        sponge_top_tau=args.sponge_top_tau)
     # --balanced-init enables x64 globally for the CPU-side solve; the
     # device run must stay f32 (TPU f64 is emulated), so pin the dtype
     # instead of reading it off the x64 flag.
@@ -393,7 +412,6 @@ def main():
     spec0 = grid.analysis(jnp.asarray(phys0, dtype))
     state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape, dtype,
                              imp_rows=2)
-    step = build_step(model, grid, ctx, dtype)
 
     if args.balanced_init:
         # Solve the model's own discrete gradient-wind/hydrostatic
@@ -406,15 +424,31 @@ def main():
 
         base0 = initial_fields(grid, ctx.ref_state, perturb=False)
         zm = np.asarray(base0).mean(axis=2)
-        bal, info = balance_zonal_state(model, zm, verbose=True)
-        print("balanced init: max|residual| "
-              + " -> ".join(f"{h:.3e}" for h in info["history"]))
+        cache = (f"/tmp/jw06_bal_c{args.cells}_z{args.zdim}.npz"
+                 if args.balance_cache else None)
+        if cache and os.path.exists(cache):
+            bal = np.load(cache)["bal"]
+            print(f"balanced init: loaded {cache}")
+        else:
+            bal, info = balance_zonal_state(model, zm, verbose=True)
+            print("balanced init: max|residual| "
+                  + " -> ".join(f"{h:.3e}" for h in info["history"]))
+            if cache:
+                np.savez(cache, bal=bal)
         delta = (bal - zm)[:, :, None, :]
         phys0 = np.asarray(phys0) + delta
         spec0 = grid.analysis(jnp.asarray(phys0, dtype))
         state = ti.initial_state(
             spec0, (grid.nvars,) + grid.spatial_shape, dtype, imp_rows=2
         )
+
+    # boundary-treatment refs (top sponge): relax toward the state the
+    # run actually starts from (balanced if --balanced-init), so the
+    # sponge is exactly neutral at t = 0
+    from scythe_tpu.model import _set_boundary_refs
+
+    _set_boundary_refs(ctx, grid, spec0)
+    step = build_step(model, grid, ctx, dtype)
 
     per = int(round(86400.0 / model.ts))  # report daily
     chunk = _pick_chunk(per)

@@ -501,6 +501,35 @@ def build_step(
             )
         sponge_ref = ctx.extras["sponge_ref"]
 
+    # Optional TOP (z) Rayleigh sponge: relax the top ``sponge_top_width``
+    # meters toward the (filtered) initial state on ``sponge_top_tau``
+    # seconds, sin^2 ramp — the standard absorbing layer of the published
+    # global-core protocols (JW06 run their tops with absorbers; our SLZ
+    # shell measured a polar model-top v-mode without one,
+    # tools/jw06_r5_probe.py round 5).  Composes additively with the
+    # radial sponge; both relax toward the same sponge_ref.
+    sp_tw = float(opts.get("sponge_top_width", 0.0) or 0.0)
+    if sp_tw > 0.0:
+        if "z" not in ctx.coords:
+            raise ValueError(
+                "options['sponge_top_width'] needs a vertical axis "
+                f"(geometry {p.geometry!r} has none)"
+            )
+        tau_t = float(opts.get("sponge_top_tau", 600.0))
+        zc = ctx.coords["z"]
+        ramp_t = jnp.clip((zc - (p.zmax - sp_tw)) / sp_tw, 0.0, 1.0)
+        sigma_t = (jnp.sin(0.5 * jnp.pi * ramp_t) ** 2 / tau_t).astype(dtype)
+        sponge_sigma = (
+            sigma_t if sponge_sigma is None else sponge_sigma + sigma_t
+        )
+        if "sponge_ref" not in ctx.extras:
+            raise ValueError(
+                "options['sponge_top_width'] needs ctx.extras['sponge_ref'] "
+                "(the initial state) — initialize()/initialize_sharded() "
+                "set it"
+            )
+        sponge_ref = ctx.extras["sponge_ref"]
+
     # Optional Sommerfeld (radiating) outer boundary: over the outer
     # ``radiation_width`` meters, blend the model tendency toward the
     # one-way outgoing wave equation d(phi')/dt = -c d(phi')/dr on the
@@ -731,7 +760,10 @@ def _set_boundary_refs(ctx, grid, spec0):
     """Reference-state extras for the optional outer-boundary treatments:
     both relax toward / radiate against the *filtered* initial state (what
     the spline space actually represents), not the raw ICs."""
-    need_sponge = float(ctx.options.get("sponge_width", 0.0) or 0.0) > 0.0
+    need_sponge = (
+        float(ctx.options.get("sponge_width", 0.0) or 0.0) > 0.0
+        or float(ctx.options.get("sponge_top_width", 0.0) or 0.0) > 0.0
+    )
     need_rad = float(ctx.options.get("radiation_width", 0.0) or 0.0) > 0.0
     if not (need_sponge or need_rad):
         return
