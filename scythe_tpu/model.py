@@ -519,9 +519,25 @@ def build_step(
         zc = ctx.coords["z"]
         ramp_t = jnp.clip((zc - (p.zmax - sp_tw)) / sp_tw, 0.0, 1.0)
         sigma_t = (jnp.sin(0.5 * jnp.pi * ramp_t) ** 2 / tau_t).astype(dtype)
-        sponge_sigma = (
-            sigma_t if sponge_sigma is None else sponge_sigma + sigma_t
-        )
+        # options['sponge_top_vars']: restrict the absorber to named
+        # variables (classical practice: damp the eddy winds — v, w —
+        # and leave the thermodynamic state free to follow the
+        # interior's slow discrete adjustment; a full-state relaxation
+        # pins the top to t=0 against that drift and builds a forcing
+        # ring at the sponge base).  Default: all variables.
+        sp_vars = opts.get("sponge_top_vars")
+        if sp_vars is not None:
+            mask = np.zeros((grid.nvars,) + (1,) * sigma_t.ndim,
+                            dtype=np.float32)
+            for name in sp_vars:
+                mask[p.var_index(name)] = 1.0
+            sigma_t = sigma_t * jnp.asarray(mask, dtype)
+        else:
+            sigma_t = sigma_t[None]
+        if sponge_sigma is not None:
+            sponge_sigma = sponge_sigma[None] + sigma_t
+        else:
+            sponge_sigma = sigma_t
         if "sponge_ref" not in ctx.extras:
             raise ValueError(
                 "options['sponge_top_width'] needs ctx.extras['sponge_ref'] "
@@ -602,7 +618,11 @@ def build_step(
             rad_dot = -rad_c * (fields["dr"] - rad_ref_dr)
             expdot = (1.0 - rad_blend)[None] * expdot + rad_blend[None] * rad_dot
         if sponge_sigma is not None:
-            expdot = expdot - sponge_sigma[None] * (phys - sponge_ref)
+            # radial-only sigma is [*spatial]; any top-sponge sigma
+            # already carries the leading variable axis
+            sig = (sponge_sigma if sponge_sigma.ndim == phys.ndim
+                   else sponge_sigma[None])
+            expdot = expdot - sig * (phys - sponge_ref)
         var_np1, e_nm1, e_nm2 = ti.explicit_step(
             phys, expdot, state.expdot_nm1, state.expdot_nm2, state.t, ts
         )

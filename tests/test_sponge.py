@@ -172,3 +172,32 @@ def test_top_sponge_requires_vertical_axis(tmp_path):
     grid, ctx, state = initialize(model)
     with pytest.raises(ValueError, match="vertical axis"):
         build_step(model, grid, ctx, jnp.float64)
+
+
+def test_top_sponge_vars_restriction(tmp_path):
+    """options['sponge_top_vars']: only the named variables are
+    relaxed; the rest advect into the layer untouched."""
+    model = _rz_updraft_model(
+        tmp_path,
+        {"sponge_top_width": 300.0, "sponge_top_tau": 2.0,
+         "sponge_top_vars": ("u",)},  # damp u only — h must pass
+        "vars",
+    )
+    grid, ctx, state = initialize(model)
+    step = build_step(model, grid, ctx, jnp.float64)
+    out = make_scan(step, 180)(state)
+    h_on = np.asarray(grid.synthesis(out.spec)["val"][0]).reshape(
+        grid.spatial_shape
+    )
+    model_off = _rz_updraft_model(tmp_path, {}, "vars_off")
+    grid2, ctx2, state2 = initialize(model_off)
+    step2 = build_step(model_off, grid2, ctx2, jnp.float64)
+    out2 = make_scan(step2, 180)(state2)
+    h_off = np.asarray(grid2.synthesis(out2.spec)["val"][0]).reshape(
+        grid2.spatial_shape
+    )
+    z = create_grid(model.grid_params, jnp.float64).z_mish
+    top = z > 750.0
+    # h is NOT in sponge_top_vars: identical evolution to the
+    # sponge-free run (u is constant-zero so damping u does nothing)
+    assert np.allclose(h_on[:, top], h_off[:, top], atol=1e-10)

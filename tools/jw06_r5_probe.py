@@ -64,6 +64,9 @@ ARMS = {
     "zsp": ({"sponge_top": 8.0e3}, {}),
     "zsp_rlf": ({"sponge_top": 8.0e3, "filter_tau": 600.0,
                  "filter_order": 8, "filter_axes": "rl"}, {}),
+    "zsp_s21": ({"sponge_top": 8.0e3, "smag": 0.21}, {}),
+    "zsp12": ({"sponge_top": 12.0e3}, {}),
+    "zsp_t300": ({"sponge_top": 8.0e3}, {"sponge_top_tau": 300.0}),
 }
 
 
@@ -157,11 +160,22 @@ def main():
                 print(f"  h{rep*args.report_hours:5.1f} NONFINITE")
                 break
             v = phys[4].reshape(grid.spatial_shape)
+            w = phys[5].reshape(grid.spatial_shape)
             vmax = float(np.abs(v).max())
             i, j, k = np.unravel_index(np.abs(v).argmax(), v.shape)
             ring = v[i, :, k]
             sp = np.abs(np.fft.rfft(ring))
             top = np.argsort(sp)[::-1][:3]
+            # track the upper- and lower-half v maxima separately: the
+            # top mode (sponge target) vs the slow surface mode
+            nz2 = v.shape[2] // 2
+            vlo = float(np.abs(v[:, :, :nz2]).max())
+            vhi = float(np.abs(v[:, :, nz2:]).max())
+            il, jl, kl = np.unravel_index(
+                np.abs(v[:, :, :nz2]).argmax(), v[:, :, :nz2].shape
+            )
+            wmax = float(np.abs(w).max())
+            iw, jw_, kw = np.unravel_index(np.abs(w).argmax(), w.shape)
             ef = ""
             if prev and prev > 0 and vmax > prev:
                 ef_min = args.report_hours * 60.0 / np.log(vmax / prev)
@@ -169,6 +183,9 @@ def main():
             print(f"  h{rep*args.report_hours:5.1f} |v|max={vmax:9.3e} "
                   f"at lat={lat[i]:6.1f} z={zkm[k]:5.1f}km "
                   f"k_top={list(top)}{ef} u_max={phys[3].max():6.2f} "
+                  f"lo={vlo:8.2e}@({lat[il]:5.1f},{zkm[kl]:4.1f}) "
+                  f"hi={vhi:8.2e} "
+                  f"|w|={wmax:8.2e}@({lat[iw]:5.1f},{zkm[kw]:4.1f}) "
                   f"({wall:.0f}s)", flush=True)
             prev = vmax
             if vmax > 30.0:
