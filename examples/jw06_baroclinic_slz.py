@@ -166,7 +166,7 @@ def write_reference_file(path, gp):
 def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
                 t_end=9 * 86400.0, K=1.0e5, filter_tau=0.0,
                 filter_axes="rl", filter_order=4, smag=0.0, l_q=2.0,
-                sponge_top=0.0, sponge_top_tau=600.0):
+                sponge_top=0.0, sponge_top_tau=600.0, k4=0.0):
     from scythe_tpu import GridParameters, ModelParameters, ZBC
 
     os.makedirs(out_dir, exist_ok=True)
@@ -250,6 +250,9 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
             **({"sponge_top_width": float(sponge_top),
                 "sponge_top_tau": float(sponge_top_tau)}
                if sponge_top > 0.0 else {}),
+            # horizontal del^4: the scale-selective damping every
+            # published core carries (surface shortwave edge waves)
+            **({"hyperdiffusion_k4": float(k4)} if k4 > 0.0 else {}),
         },
     )
 
@@ -359,6 +362,10 @@ def main():
                     "relax the top layer toward the initial state "
                     "(published cores all absorb at the model top)")
     ap.add_argument("--sponge-top-tau", type=float, default=600.0)
+    ap.add_argument("--k4", type=float, default=0.0,
+                    help="horizontal del^4 hyperdiffusion coefficient "
+                    "(m^4/s; ~5e16 at 48 cells: 30-min grid-scale "
+                    "e-fold, ~25-day at wave k=8; 0 = off)")
     ap.add_argument("--balance-cache", action="store_true",
                     help="cache/reuse the (cells, zdim)-keyed balance "
                     "solution in /tmp (the correction is ~8 min of CPU "
@@ -401,7 +408,8 @@ def main():
                         filter_order=args.filter_order,
                         smag=args.smag, l_q=args.l_q,
                         sponge_top=args.sponge_top_km * 1.0e3,
-                        sponge_top_tau=args.sponge_top_tau)
+                        sponge_top_tau=args.sponge_top_tau,
+                        k4=args.k4)
     # --balanced-init enables x64 globally for the CPU-side solve; the
     # device run must stay f32 (TPU f64 is emulated), so pin the dtype
     # instead of reading it off the x64 flag.

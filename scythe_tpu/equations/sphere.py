@@ -228,6 +228,25 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
         lap_all = lap_mask * (K_eff * (horiz + dzz))
     else:
         lap_all = lap_mask * (K_eff * horiz + Kz_eff * dzz)
+    # optional horizontal del^4 hyperdiffusion (beyond-reference; the
+    # published global dry cores all carry one): dq/dt -= K4*lap(lap q).
+    # The second Laplacian comes from FITTING the first (one extra
+    # analysis+synthesis round trip) — the fit re-imposes the ring
+    # masks, so the pole rings stay in their resolved subspace.  Built
+    # for the surface baroclinic shortwave catastrophe of the l_q=0
+    # JW06 shell (round 5, tools/jw06_r5_probe.py): grid-scale Eady
+    # edge waves grow on ~hour e-folds at the surface and del^2 K=1e5
+    # damps k~20 on ~3-day timescales; K4 ~ 5e16 m^4/s kills the grid
+    # scale in ~30 min while leaving the k=8 wave a ~25-day e-fold.
+    k4 = float(ctx.options.get("hyperdiffusion_k4", 0.0) or 0.0)
+    if k4 > 0.0:
+        f2 = ctx.grid.synthesis(ctx.grid.analysis(horiz))
+        horiz2 = (
+            f2["drr"] / aa
+            + f2["dll"] / (aa * cosp * cosp)
+            - tanp * f2["dr"] / aa
+        )
+        lap_all = lap_all - lap_mask * (k4 * horiz2)
 
     # perturbation pressure gradients in all three directions (shared
     # local coefficients), with the vertical carrying the exact

@@ -67,6 +67,10 @@ ARMS = {
     "zsp_s21": ({"sponge_top": 8.0e3, "smag": 0.21}, {}),
     "zsp12": ({"sponge_top": 12.0e3}, {}),
     "zsp_t300": ({"sponge_top": 8.0e3}, {"sponge_top_tau": 300.0}),
+    # del^4 hyperdiffusion vs the surface shortwave edge waves (the
+    # day-3 killer: surface-trapped s'/u'/v', k 8-44, ~1 km deep)
+    "zsp_k4": ({"sponge_top": 8.0e3, "k4": 5.0e16}, {}),
+    "zsp_k4s": ({"sponge_top": 8.0e3, "k4": 1.5e17}, {}),
 }
 
 
