@@ -240,6 +240,19 @@ def MoistEulerSLZ(fields, ctx: EqContext) -> EqResult:
     # scale in ~30 min while leaving the k=8 wave a ~25-day e-fold.
     k4 = float(ctx.options.get("hyperdiffusion_k4", 0.0) or 0.0)
     if k4 > 0.0:
+        # explicit-stability guard (trace-time): DIAGONAL 2-grid modes
+        # see 4x the 1-D del^4 damping rate, and the AB3 real-axis
+        # stability limit is ~0.545 — K4 = 5e16 at 48 cells/ts 15 sat
+        # at 0.78 and detonated after ~3 days with no precursor
+        # (jw06_r5_probe4.log h78).  Fail loudly instead.
+        dx_lat = float(jnp.pi) * float(a) / dp.shape[1]
+        cfl4 = k4 * (2.0 * (float(jnp.pi) / dx_lat) ** 2) ** 2 * ctx.ts
+        if cfl4 > 0.5:
+            raise ValueError(
+                f"hyperdiffusion_k4: diagonal del^4 CFL {cfl4:.2f} > 0.5 "
+                f"(K4={k4:.2e}, dx_lat={dx_lat/1e3:.0f} km, ts={ctx.ts}); "
+                "reduce K4 or ts"
+            )
         f2 = ctx.grid.synthesis(ctx.grid.analysis(horiz))
         horiz2 = (
             f2["drr"] / aa

@@ -71,6 +71,12 @@ ARMS = {
     # day-3 killer: surface-trapped s'/u'/v', k 8-44, ~1 km deep)
     "zsp_k4": ({"sponge_top": 8.0e3, "k4": 5.0e16}, {}),
     "zsp_k4s": ({"sponge_top": 8.0e3, "k4": 1.5e17}, {}),
+    # AB3 explicit-stability bound: DIAGONAL 2-grid modes see 4x the
+    # 1-D del^4 rate — K4*(2*(pi/dx)^2)^2*ts must stay under ~0.545.
+    # At 48 cells (dx_lat 139 km, ts 15): 5e16 -> 0.78 (the h78
+    # no-precursor detonation of zsp_k4), 2e16 -> 0.31 (safe).
+    "zsp_k4b": ({"sponge_top": 8.0e3, "k4": 2.0e16}, {}),
+    "zsp_k4c": ({"sponge_top": 8.0e3, "k4": 3.0e16}, {}),
 }
 
 
