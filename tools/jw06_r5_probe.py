@@ -77,6 +77,25 @@ ARMS = {
     # no-precursor detonation of zsp_k4), 2e16 -> 0.31 (safe).
     "zsp_k4b": ({"sponge_top": 8.0e3, "k4": 2.0e16}, {}),
     "zsp_k4c": ({"sponge_top": 8.0e3, "k4": 3.0e16}, {}),
+    # probe5 verdict: ALL sponge_top=8km arms detonate h72-78 with no
+    # |v|/|w|/u precursor, INDEPENDENT of K4 (2e16/3e16/5e16) and smag
+    # — the diagonal-CFL theory is dead.  zsp12 (12 km sponge) sailed
+    # past h96; its killer is the VISIBLE equatorial surface mode
+    # (k 8-44, e-fold ~7-30 h), which K4=2e16 held bounded in zsp_k4b.
+    # The persistent |w|~0.3-0.5 at lat +-86-90, z 18-23 km sits at the
+    # 8-km sponge BASE -> polar mode at the sponge base is the abrupt
+    # killer; the deeper sponge covers it.  Combine both fixes:
+    "zsp12_k4b": ({"sponge_top": 12.0e3, "k4": 2.0e16}, {}),
+    "zsp12_k4c": ({"sponge_top": 12.0e3, "k4": 3.0e16}, {}),
+    # eddy-only absorber: the full-state top sponge pins s/xi/u to t=0
+    # against the interior's slow drift and builds a forcing ring at
+    # the sponge base (model.py sponge_top_vars comment) — the likely
+    # h72-78 detonation.  The balanced base has v = w = 0, so damping
+    # only (v, w) is exactly neutral at ALL times, not just t=0.
+    "zspvw_k4b": ({"sponge_top": 8.0e3, "k4": 2.0e16},
+                  {"sponge_top_vars": ("v", "w")}),
+    "zspvw12_k4b": ({"sponge_top": 12.0e3, "k4": 2.0e16},
+                    {"sponge_top_vars": ("v", "w")}),
 }
 
 
@@ -186,6 +205,16 @@ def main():
             )
             wmax = float(np.abs(w).max())
             iw, jw_, kw = np.unravel_index(np.abs(w).argmax(), w.shape)
+            # zonal-eddy s and xi: the h72-78 sponge-base detonation has
+            # no |v|/|w| precursor — watch the thermodynamic channels
+            s_ed = phys[0].reshape(grid.spatial_shape)
+            s_ed = s_ed - s_ed.mean(axis=1, keepdims=True)
+            x_ed = phys[1].reshape(grid.spatial_shape)
+            x_ed = x_ed - x_ed.mean(axis=1, keepdims=True)
+            smax = float(np.abs(s_ed).max())
+            i_s, j_s, k_s = np.unravel_index(np.abs(s_ed).argmax(),
+                                             s_ed.shape)
+            xmax = float(np.abs(x_ed).max())
             ef = ""
             if prev and prev > 0 and vmax > prev:
                 ef_min = args.report_hours * 60.0 / np.log(vmax / prev)
@@ -196,6 +225,8 @@ def main():
                   f"lo={vlo:8.2e}@({lat[il]:5.1f},{zkm[kl]:4.1f}) "
                   f"hi={vhi:8.2e} "
                   f"|w|={wmax:8.2e}@({lat[iw]:5.1f},{zkm[kw]:4.1f}) "
+                  f"s'={smax:8.2e}@({lat[i_s]:5.1f},{zkm[k_s]:4.1f}) "
+                  f"xi'={xmax:8.2e} "
                   f"({wall:.0f}s)", flush=True)
             prev = vmax
             if vmax > 30.0:
