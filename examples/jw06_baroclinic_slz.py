@@ -166,7 +166,8 @@ def write_reference_file(path, gp):
 def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
                 t_end=9 * 86400.0, K=1.0e5, filter_tau=0.0,
                 filter_axes="rl", filter_order=4, smag=0.0, l_q=2.0,
-                sponge_top=0.0, sponge_top_tau=600.0, k4=0.0):
+                sponge_top=0.0, sponge_top_tau=600.0, k4=0.0,
+                incremental=True):
     from scythe_tpu import GridParameters, ModelParameters, ZBC
 
     os.makedirs(out_dir, exist_ok=True)
@@ -253,6 +254,12 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
             # horizontal del^4: the scale-selective damping every
             # published core carries (surface shortwave edge waves)
             **({"hyperdiffusion_k4": float(k4)} if k4 > 0.0 else {}),
+            # incremental closing analysis: the classical per-step
+            # full-state refit drifts the balanced zonal mean on device
+            # (compensated-bf16 fit bias ~1e-6/step -> polar surface
+            # +0.9 K/1000 steps, tropical stratification collapse by
+            # day ~7 — the round-5 equatorial killer; model.build_step)
+            **({"incremental_analysis": True} if incremental else {}),
         },
     )
 

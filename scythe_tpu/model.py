@@ -605,6 +605,13 @@ def build_step(
             )
         vdiff_apply = build_implicit_vdiff(grid, dtype)
 
+    # options['incremental_analysis']: close the step with
+    # spec + A(delta) instead of A(var_np1) — see the comment at the
+    # closing analysis below.  Off by default (bitwise compatibility);
+    # long f32 device integrations on near-balanced states should turn
+    # it on (the JW06/SLZ configurations do).
+    incremental = bool(opts.get("incremental_analysis", False))
+
     def step(state: ti.ModelState) -> ti.ModelState:
         fields = synthesis_fn(state.spec)
         res = eqset(fields, ctx)
@@ -663,7 +670,24 @@ def build_step(
             var_np1 = vdiff_apply(var_np1, res.k_v, ts)
         if needs_condensation:
             var_np1 = mp.condensation_adjustment(var_np1, impdot, ctx)
-        spec_new = analysis_fn(var_np1)
+        if incremental:
+            # Incremental closing analysis: spec + A(var_np1 - S spec).
+            # Algebraically identical to A(var_np1) when A S = I, but the
+            # STANDING state never passes through the roundtrip, so the
+            # compensated-bf16 GEMM's ~1e-6 systematic fit bias applies
+            # only to the per-step increment (~tendency*ts), not the full
+            # field.  Measured (tools/jw06_r5_fititer.py): the classical
+            # form drifts the balanced JW06 zonal mean by +0.9 K/1000
+            # steps at the polar surface and erodes the jet 0.16 m/s/1000
+            # steps on device with ZERO dynamics — at 5760 steps/day this
+            # collapses the tropical low-level stratification by day ~7
+            # (the round-5 "equatorial surface killer").  The delta must
+            # be taken against the ORIGINAL synthesis value (fields
+            # ["val"]), not the override-patched phys, for the identity
+            # to hold.
+            spec_new = state.spec + analysis_fn(var_np1 - fields["val"])
+        else:
+            spec_new = analysis_fn(var_np1)
         if modal_filter is not None:
             spec_new = modal_filter(spec_new)
         return ti.ModelState(

@@ -36,14 +36,22 @@ jw = importlib.util.module_from_spec(_spec)
 sys.modules["jw06_example"] = jw
 _spec.loader.exec_module(jw)
 
-# name -> build_model overrides (ts pulled out separately)
+# name -> build_model overrides (ts pulled out separately).  Every arm
+# pins `incremental` explicitly: jw.build_model now defaults it ON.
 ARMS = {
-    "win": {"sponge_top": 12.0e3, "k4": 3.0e16},
-    "K0": {"sponge_top": 12.0e3, "k4": 3.0e16, "K": 0.0},
-    "nok4": {"sponge_top": 12.0e3},
-    "nosponge": {"k4": 3.0e16},
-    "ts7": {"sponge_top": 12.0e3, "k4": 1.5e16, "ts": 7.5},
-    "ts30": {"sponge_top": 12.0e3, "k4": 3.0e16, "ts": 30.0},
+    "win": {"sponge_top": 12.0e3, "k4": 3.0e16, "incremental": False},
+    "K0": {"sponge_top": 12.0e3, "k4": 3.0e16, "K": 0.0,
+           "incremental": False},
+    "nok4": {"sponge_top": 12.0e3, "incremental": False},
+    "nosponge": {"k4": 3.0e16, "incremental": False},
+    "ts7": {"sponge_top": 12.0e3, "k4": 1.5e16, "ts": 7.5,
+            "incremental": False},
+    # incremental closing analysis (the round-5 erosion fix): the
+    # standing state skips the mask-fit contraction + compensated-bf16
+    # bias; expect near-zero zonal-mean drift
+    "win_inc": {"sponge_top": 12.0e3, "k4": 3.0e16, "incremental": True},
+    "inc_only": {"incremental": True},
+    "inc_k4": {"k4": 3.0e16, "incremental": True},
 }
 
 
