@@ -167,7 +167,7 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
                 t_end=9 * 86400.0, K=1.0e5, filter_tau=0.0,
                 filter_axes="rl", filter_order=4, smag=0.0, l_q=2.0,
                 sponge_top=0.0, sponge_top_tau=600.0, k4=0.0,
-                incremental=True):
+                incremental=True, ivd=False):
     from scythe_tpu import GridParameters, ModelParameters, ZBC
 
     os.makedirs(out_dir, exist_ok=True)
@@ -239,11 +239,24 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
                 "modal_filter_axes": filter_axes,
                 "modal_filter_order": int(filter_order)}
                if filter_tau > 0.0 else {}),
-            # horizontal-only Smagorinsky: the physical-space closure
-            # for the day 7+ breaking front (the latitude modal filter
-            # is structurally unusable on the shell — round-4 endgame).
-            # 'rl' axes keep the R0 vertical fits admissible.
-            **({"smagorinsky": float(smag), "smagorinsky_axes": "rl"}
+            # Smagorinsky closure.  Two modes:
+            # - horizontal-only ('rl' axes): the physical-space closure
+            #   for the day 7+ breaking front; keeps the R0 vertical
+            #   fits admissible (no explicit vertical mixing).
+            # - ivd: isotropic closure + implicit (weak-form) vertical
+            #   solve with the Lilly Ri factor — vertical mixing turns
+            #   ON where the column goes statically unstable, i.e. a
+            #   flow-dependent dry convective adjustment.  Round-5
+            #   forensics: the wave phase drives the weakly-stable
+            #   tropical low levels to neutral by day ~7 and resolved
+            #   grid-scale dry convection detonates (this core is
+            #   nonhydrostatic convection-permitting with K_v = 0;
+            #   the published hydrostatic cores never see this mode).
+            #   The weak-form implicit solve is wall-flux safe for the
+            #   R0 columns (docs/NUMERICS.md implicit_vdiff).
+            **({"smagorinsky": float(smag),
+                **({"implicit_vdiff": True} if ivd
+                   else {"smagorinsky_axes": "rl"})}
                if smag > 0.0 else {}),
             # top absorbing layer (model.build_step sponge_top_*): the
             # published cores all damp their model tops; ours measured
@@ -373,6 +386,10 @@ def main():
                     help="horizontal del^4 hyperdiffusion coefficient "
                     "(m^4/s; ~5e16 at 48 cells: 30-min grid-scale "
                     "e-fold, ~25-day at wave k=8; 0 = off)")
+    ap.add_argument("--ivd", action="store_true",
+                    help="isotropic Smagorinsky + implicit vertical "
+                    "diffusion (Ri-factor dry convective adjustment) "
+                    "instead of the horizontal-only 'rl' closure")
     ap.add_argument("--balance-cache", action="store_true",
                     help="cache/reuse the (cells, zdim)-keyed balance "
                     "solution in /tmp (the correction is ~8 min of CPU "
@@ -416,7 +433,7 @@ def main():
                         smag=args.smag, l_q=args.l_q,
                         sponge_top=args.sponge_top_km * 1.0e3,
                         sponge_top_tau=args.sponge_top_tau,
-                        k4=args.k4)
+                        k4=args.k4, ivd=args.ivd)
     # --balanced-init enables x64 globally for the CPU-side solve; the
     # device run must stay f32 (TPU f64 is emulated), so pin the dtype
     # instead of reading it off the x64 flag.
