@@ -223,3 +223,37 @@ def test_wave_growth_on_balanced_base(tmp_path):
     # eddy growth from the bump, bounded: the band brackets the
     # calibrated 0.141 with headroom for numerics drift
     assert 0.05 < v1 < 0.5, v1
+
+
+def test_production_bundle_short_window(tmp_path):
+    """The full round-5 production stabilizer bundle — 12-km top
+    sponge + del^4 K4 + incremental closing analysis + isotropic
+    Smagorinsky with the implicit-vertical-diffusion (Ri factor)
+    convective closure — builds and integrates 100 steps finite with w
+    bounded on the perturbed balanced state.  Pins the option WIRING
+    (each piece has its own physics test; the device chain validates
+    the long run): a regression that silently drops one of these
+    options reproduces a measured multi-day TPU failure mode
+    (docs/RESULTS.md round-5 JW06 forensic chain)."""
+    model = jw.build_model(str(tmp_path), num_cells=12, nl=24, zdim=12,
+                           ts=15.0, l_q=0.0, k4=5.0e15, smag=0.21,
+                           ivd=True, sponge_top=12.0e3)
+    od = dict(model.options)
+    for key in ("hyperdiffusion_k4", "smagorinsky", "implicit_vdiff",
+                "incremental_analysis", "sponge_top_width"):
+        assert key in od, key
+    grid = create_grid(model.grid_params, jnp.float64)
+    ctx = build_context(model, grid, jnp.float64)
+    phys0 = jw.initial_fields(grid, ctx.ref_state, perturb=True)
+    spec0 = grid.analysis(jnp.asarray(phys0, jnp.float64))
+    state = ti.initial_state(spec0, (grid.nvars,) + grid.spatial_shape,
+                             jnp.float64, imp_rows=2)
+    from scythe_tpu.model import _set_boundary_refs
+
+    _set_boundary_refs(ctx, grid, spec0)
+    step = build_step(model, grid, ctx, jnp.float64)
+    state = make_scan(step, 100)(state)
+    phys = np.asarray(grid.synthesis(state.spec)["val"])
+    assert np.isfinite(phys).all()
+    assert np.abs(phys[5]).max() < 1.0, np.abs(phys[5]).max()
+    assert phys[3].max() > 30.0  # jet intact over 25 min
