@@ -402,6 +402,9 @@ def main():
                     help="horizontal del^4 hyperdiffusion coefficient "
                     "(m^4/s; ~5e16 at 48 cells: 30-min grid-scale "
                     "e-fold, ~25-day at wave k=8; 0 = off)")
+    ap.add_argument("--chunk-cap", type=int, default=384,
+                    help="max lax.scan chunk length (one device call "
+                    "per chunk; raise on high-latency tunnel sessions)")
     ap.add_argument("--ivd", action="store_true",
                     help="isotropic Smagorinsky + implicit vertical "
                     "diffusion (Ri-factor dry convective adjustment) "
@@ -499,7 +502,11 @@ def main():
     step = build_step(model, grid, ctx, dtype)
 
     per = int(round(86400.0 / model.ts))  # report daily
-    chunk = _pick_chunk(per)
+    # --chunk-cap: when the tunnel's per-execution fixed cost is large
+    # (wedged sessions measured ~36 s/call round 5), fewer+longer scan
+    # calls dominate wall time; compile time grows with scan length, so
+    # this is a session-condition knob, not a default.
+    chunk = _pick_chunk(per, cap=args.chunk_cap)
     # one jitted scan per chunk length, reused across every day/spinup
     # loop iteration (a make_scan call inside the loop would retrace)
     scan_chunk = make_scan(step, chunk)
