@@ -39,17 +39,21 @@ Production recipe (round 5 — the configuration that holds both phases
 on device; see docs/RESULTS.md "round-5 JW06 forensic chain"):
 
     python examples/jw06_baroclinic_slz.py --cells 48 --nl 96 \
-        --zdim 24 --ts 15 --days 12 --l-q 0 --balanced-init \
-        --balance-cache --sponge-top-km 12 --k4 3e16 --smag 0.21 --ivd
+        --zdim 24 --ts 7.5 --days 12 --l-q 0 --balanced-init \
+        --balance-cache --sponge-top-km 12 --k4 6e16 --smag 0.21
 
-Each piece closes a measured failure mode: l_q=0 (contractive fit),
+This bundle carried the full life cycle through wave breaking to day
+10 on device (eddy-ps -22.6 hPa, |v| 28 m/s; docs/RESULTS.md).  Each
+piece closes a measured failure mode: l_q=0 (contractive fit),
 --balanced-init (eta->z drift), incremental closing analysis (on by
 default here; standing-state erosion on device), --sponge-top-km 12
 (polar model-top mode; 8 km base sits in the drifting layer and
-detonates at h72-78), --k4 3e16 (surface shortwave edge waves; obeys
-the diagonal AB3 CFL guard), --smag 0.21 --ivd (Ri-factor implicit
-vertical mixing = dry convective adjustment for the wave-phase
-equatorial destabilization; compare tools/jw06_compare_published.py).
+detonates at h72-78), --k4 (surface shortwave edge waves; obeys the
+diagonal AB3 CFL guard — the guard sets the max K4 per ts), --smag
+0.21 (horizontal-only breaking-front closure), small ts (the endgame
+death day is ts-controlled: 15 -> day 8, 10 -> day 9, 7.5 -> day 11).
+The isotropic-smag+ivd variant measured WORSE on the shell (day 6) —
+see RESULTS.  Compare curves: tools/jw06_compare_published.py.
 """
 
 from __future__ import annotations
