@@ -330,7 +330,7 @@ def build_surface_fluxes(grid: Grid, ctx: EqContext, cfg: dict, dtype):
     return apply
 
 
-def build_implicit_vdiff(grid: Grid, dtype):
+def build_implicit_vdiff(grid: Grid, dtype, exclude=("xi", "qss")):
     """Backward-Euler implicit vertical diffusion (beyond-reference).
 
     Production cloud models treat vertical mixing implicitly because the
@@ -381,9 +381,14 @@ def build_implicit_vdiff(grid: Grid, dtype):
     wq_j = jnp.asarray(wq, dtype)
     winv = jnp.asarray(1.0 / wq, dtype)
     # xi (mass) and qss (supersaturation bookkeeping) are not
-    # K-diffused, matching the equation sets' lap_mask
+    # K-diffused, matching the equation sets' lap_mask.
+    # options['vdiff_exclude'] can widen the exclusion — e.g. adding
+    # "w": the vdiff solve runs AFTER the AI2* acoustic corrector, so
+    # mixing w perturbs the discrete (w, xi) closure each step
+    # (negligible at the TC's ts = 2-3 s; the ts = 15 JW06 ivd arm
+    # died day 6 with this as the open forensic lead — ROADMAP).
     idxs = tuple(
-        v for v, name in enumerate(p.vars) if name not in ("xi", "qss")
+        v for v, name in enumerate(p.vars) if name not in exclude
     )
     eye = jnp.eye(nz, dtype=dtype)
 
@@ -603,7 +608,16 @@ def build_step(
                 "options['implicit_vdiff'] is supported by the MoistEuler* "
                 f"equation sets, not {model.equation_set!r}"
             )
-        vdiff_apply = build_implicit_vdiff(grid, dtype)
+        vdiff_exclude = tuple(
+            opts.get("vdiff_exclude", ("xi", "qss"))
+        )
+        for name in vdiff_exclude:
+            if name not in p.vars:
+                raise ValueError(
+                    f"options['vdiff_exclude'] names unknown variable "
+                    f"{name!r} (vars: {list(p.vars)})"
+                )
+        vdiff_apply = build_implicit_vdiff(grid, dtype, vdiff_exclude)
 
     # options['incremental_analysis']: close the step with
     # spec + A(delta) instead of A(var_np1) — see the comment at the
