@@ -187,7 +187,7 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
                 t_end=9 * 86400.0, K=1.0e5, filter_tau=0.0,
                 filter_axes="rl", filter_order=4, smag=0.0, l_q=2.0,
                 sponge_top=0.0, sponge_top_tau=600.0, k4=0.0,
-                incremental=True, ivd=False):
+                incremental=True, ivd=False, ivd_no_w=False):
     from scythe_tpu import GridParameters, ModelParameters, ZBC
 
     os.makedirs(out_dir, exist_ok=True)
@@ -275,7 +275,12 @@ def build_model(out_dir, num_cells=24, nl=96, zdim=24, ts=15.0,
             #   The weak-form implicit solve is wall-flux safe for the
             #   R0 columns (docs/NUMERICS.md implicit_vdiff).
             **({"smagorinsky": float(smag),
-                **({"implicit_vdiff": True} if ivd
+                **({"implicit_vdiff": True,
+                    # the w-excluded arm for the day-6 ivd negative
+                    # (vdiff after the AI2* corrector perturbs the
+                    # discrete (w, xi) closure — model.py forensic lead)
+                    **({"vdiff_exclude": ("xi", "qss", "w")}
+                       if ivd_no_w else {})} if ivd
                    else {"smagorinsky_axes": "rl"})}
                if smag > 0.0 else {}),
             # top absorbing layer (model.build_step sponge_top_*): the
@@ -409,6 +414,9 @@ def main():
     ap.add_argument("--chunk-cap", type=int, default=384,
                     help="max lax.scan chunk length (one device call "
                     "per chunk; raise on high-latency tunnel sessions)")
+    ap.add_argument("--ivd-no-w", action="store_true",
+                    help="with --ivd: exclude w from the implicit "
+                    "vertical solve (the (w,xi)-closure forensic arm)")
     ap.add_argument("--ivd", action="store_true",
                     help="isotropic Smagorinsky + implicit vertical "
                     "diffusion (Ri-factor dry convective adjustment) "
@@ -456,7 +464,7 @@ def main():
                         smag=args.smag, l_q=args.l_q,
                         sponge_top=args.sponge_top_km * 1.0e3,
                         sponge_top_tau=args.sponge_top_tau,
-                        k4=args.k4, ivd=args.ivd)
+                        k4=args.k4, ivd=args.ivd, ivd_no_w=args.ivd_no_w)
     # --balanced-init enables x64 globally for the CPU-side solve; the
     # device run must stay f32 (TPU f64 is emulated), so pin the dtype
     # instead of reading it off the x64 flag.
